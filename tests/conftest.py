@@ -1,0 +1,38 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+Multi-chip sharding tests use the virtual mesh (SURVEY.md §4: CPU with
+--xla_force_host_platform_device_count=8, no TPU cluster needed for CI).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+from pathlib import Path  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def golden():
+    """Loader for golden npz vectors: golden('BC1') -> dict of arrays."""
+    cache = {}
+
+    def load(family: str):
+        if family not in cache:
+            path = GOLDEN_DIR / f"{family}.npz"
+            if not path.exists():
+                pytest.skip(f"golden vectors missing: {path} "
+                            "(run tools/gen_goldens.py)")
+            cache[family] = dict(np.load(path))
+        return cache[family]
+
+    return load
