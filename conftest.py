@@ -8,7 +8,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for tests even when the ambient environment selects a TPU
+# platform; set DETEX_TEST_TPU=1 to run the suite on real hardware.
+if not os.environ.get("DETEX_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

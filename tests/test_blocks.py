@@ -1,0 +1,109 @@
+"""Bit-exact golden tests for all block-decoder families.
+
+Each decoder's native array output is packed to the reference's
+pixel-buffer byte layout and compared byte-for-byte against the golden
+vectors produced by the compiled C reference (tools/gen_goldens.py).
+"""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from detex_tpu.ops import bc, bptc, bptc_float, eac, etc, rgtc
+from detex_tpu.ops.bitops import words_from_bytes
+
+
+def _pack_u32(pix):
+    return np.ascontiguousarray(np.asarray(pix)).view(np.uint32) \
+        .view(np.uint8).reshape(pix.shape[0], -1)
+
+
+def _pack_u8(pix):
+    return np.ascontiguousarray(
+        np.asarray(pix).astype(np.uint8)).reshape(pix.shape[0], -1)
+
+
+def _pack_i16(pix):
+    return np.ascontiguousarray(
+        np.asarray(pix).astype(np.int16).reshape(pix.shape[0], -1)) \
+        .view(np.uint8)
+
+
+def _pack_u16(pix):
+    return np.ascontiguousarray(
+        np.asarray(pix).astype(np.uint16).reshape(pix.shape[0], -1)) \
+        .view(np.uint8)
+
+
+# family -> (decoder, packer)
+FAMILIES = {
+    "BC1": (bc.decode_bc1, _pack_u32),
+    "BC1A": (bc.decode_bc1a, _pack_u32),
+    "BC2": (bc.decode_bc2, _pack_u32),
+    "BC3": (bc.decode_bc3, _pack_u32),
+    "RGTC1": (rgtc.decode_rgtc1, _pack_u8),
+    "RGTC2": (rgtc.decode_rgtc2, _pack_u8),
+    "SIGNED_RGTC1": (rgtc.decode_signed_rgtc1, _pack_i16),
+    "SIGNED_RGTC2": (rgtc.decode_signed_rgtc2, _pack_i16),
+    "BPTC": (bptc.decode_bptc, _pack_u32),
+    "BPTC_FLOAT": (bptc_float.decode_bptc_float, _pack_u16),
+    "BPTC_SIGNED_FLOAT": (bptc_float.decode_bptc_signed_float, _pack_u16),
+    "ETC1": (etc.decode_etc1, _pack_u32),
+    "ETC2": (etc.decode_etc2, _pack_u32),
+    "ETC2_PUNCHTHROUGH": (etc.decode_etc2_punchthrough, _pack_u32),
+    "ETC2_EAC": (etc.decode_etc2_eac, _pack_u32),
+    "EAC_R11": (eac.decode_eac_r11, _pack_u16),
+    "EAC_RG11": (eac.decode_eac_rg11, _pack_u16),
+    "EAC_SIGNED_R11": (eac.decode_eac_signed_r11, _pack_i16),
+    "EAC_SIGNED_RG11": (eac.decode_eac_signed_rg11, _pack_i16),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(family):
+    return jax.jit(FAMILIES[family][0], static_argnums=(1, 2))
+
+
+def run_decoder(family, blocks_u8, mode_mask=0xFFFFFFFF, flags=0):
+    _, pack = FAMILIES[family]
+    words = words_from_bytes(blocks_u8)
+    pix, valid = _jitted(family)(words, mode_mask, flags)
+    out_bytes = pack(pix)
+    valid = np.asarray(valid)
+    # invalid blocks are zero-filled, mirroring texture.c:90-93
+    out_bytes = np.where(valid[:, None], out_bytes, 0).astype(np.uint8)
+    return out_bytes, valid
+
+
+def check_family(golden, family):
+    g = golden(family)
+    for prefix in ("corpus", "random"):
+        if f"{prefix}_blocks" not in g:
+            continue
+        out, valid = run_decoder(family, g[f"{prefix}_blocks"])
+        np.testing.assert_array_equal(valid, g[f"{prefix}_valid"],
+                                      err_msg=f"{family} {prefix} valid")
+        np.testing.assert_array_equal(out, g[f"{prefix}_out"],
+                                      err_msg=f"{family} {prefix} pixels")
+    vi = 0
+    while f"variant{vi}_out" in g:
+        mask = int(g[f"variant{vi}_mask"])
+        flags = int(g[f"variant{vi}_flags"])
+        out, valid = run_decoder(family, g["random_blocks"], mask, flags)
+        np.testing.assert_array_equal(valid, g[f"variant{vi}_valid"],
+                                      err_msg=f"{family} v{vi} valid")
+        np.testing.assert_array_equal(out, g[f"variant{vi}_out"],
+                                      err_msg=f"{family} v{vi} pixels")
+        if f"variant{vi}_corpus_out" in g:
+            out, valid = run_decoder(family, g["corpus_blocks"], mask, flags)
+            np.testing.assert_array_equal(
+                valid, g[f"variant{vi}_corpus_valid"])
+            np.testing.assert_array_equal(out, g[f"variant{vi}_corpus_out"])
+        vi += 1
+
+
+@pytest.mark.parametrize("family", list(FAMILIES))
+def test_block_decode_bit_exact(golden, family):
+    check_family(golden, family)
