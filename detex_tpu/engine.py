@@ -1,0 +1,157 @@
+"""Texture decode engine: batched block decode + conversion + assembly.
+
+TPU-rebuild equivalent of the reference texture engine
+(reference: texture.c:27-145).  Where the reference walks blocks one at
+a time through a function-pointer table (texture.c:85-96, 115-143), this
+engine decodes the *entire* texture as one batched, jitted device
+computation, converts pixels, and assembles the linear image with a
+reshape/transpose — no per-block loop anywhere.
+
+Layers:
+  decode_blocks_device : blocks -> native per-pixel device arrays
+  decode_blocks        : blocks -> native per-block pixel bytes (host)
+  decompress_texture_linear / _tiled : full reference parity incl.
+      pixel-format conversion, partial edge blocks, invalid-block
+      zero-fill (texture.c:90-93, 125-127)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from detex_tpu import convert as C
+from detex_tpu import formats as F
+from detex_tpu.ops import bc, bptc, bptc_float, eac, etc, rgtc
+from detex_tpu.ops.bitops import words_from_bytes
+from detex_tpu.texture import Texture
+
+# compressed-format index -> (decoder, native packer kind)
+# Packer kinds describe the native array -> byte-layout mapping:
+#   u32: (N,16) packed 32-bit pixels; u8/u16/i16: component arrays.
+_DECODERS = {
+    F.IDX_BC1: (bc.decode_bc1, "u32"),
+    F.IDX_BC1A: (bc.decode_bc1a, "u32"),
+    F.IDX_BC2: (bc.decode_bc2, "u32"),
+    F.IDX_BC3: (bc.decode_bc3, "u32"),
+    F.IDX_RGTC1: (rgtc.decode_rgtc1, "u8"),
+    F.IDX_SIGNED_RGTC1: (rgtc.decode_signed_rgtc1, "i16"),
+    F.IDX_RGTC2: (rgtc.decode_rgtc2, "u8"),
+    F.IDX_SIGNED_RGTC2: (rgtc.decode_signed_rgtc2, "i16"),
+    F.IDX_BPTC_FLOAT: (bptc_float.decode_bptc_float, "u16"),
+    F.IDX_BPTC_SIGNED_FLOAT: (bptc_float.decode_bptc_signed_float, "u16"),
+    F.IDX_BPTC: (bptc.decode_bptc, "u32"),
+    F.IDX_ETC1: (etc.decode_etc1, "u32"),
+    F.IDX_ETC2: (etc.decode_etc2, "u32"),
+    F.IDX_ETC2_PUNCHTHROUGH: (etc.decode_etc2_punchthrough, "u32"),
+    F.IDX_ETC2_EAC: (etc.decode_etc2_eac, "u32"),
+    F.IDX_EAC_R11: (eac.decode_eac_r11, "u16"),
+    F.IDX_EAC_SIGNED_R11: (eac.decode_eac_signed_r11, "i16"),
+    F.IDX_EAC_RG11: (eac.decode_eac_rg11, "u16"),
+    F.IDX_EAC_SIGNED_RG11: (eac.decode_eac_signed_rg11, "i16"),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_decoder(idx: int):
+    fn, _ = _DECODERS[idx]
+    return jax.jit(fn)
+
+
+def decode_blocks_device(tex_fmt: int, words, mode_mask=0xFFFFFFFF,
+                         flags=0):
+    """Decode a (N, k) int32 word batch on the device.  Returns the
+    decoder's native arrays (pixels, valid) without host transfer."""
+    idx = F.compressed_index(tex_fmt)
+    if idx not in _DECODERS:
+        raise ValueError(f"not a compressed format: {tex_fmt:#x}")
+    return _jitted_decoder(idx)(words, np.uint32(mode_mask),
+                                np.uint32(flags))
+
+
+def _native_bytes(idx: int, pix) -> np.ndarray:
+    """Native device arrays -> per-block pixel byte layout (N, 16*ps),
+    matching the reference decoders' pixel_buffer layout."""
+    kind = _DECODERS[idx][1]
+    a = np.asarray(pix)
+    n = a.shape[0]
+    if kind == "u32":
+        return np.ascontiguousarray(a).view(np.uint32).view(np.uint8) \
+            .reshape(n, -1)
+    if kind == "u8":
+        return np.ascontiguousarray(a.astype(np.uint8)).reshape(n, -1)
+    if kind == "i16":
+        return np.ascontiguousarray(
+            a.astype(np.int16).reshape(n, -1)).view(np.uint8)
+    return np.ascontiguousarray(
+        a.astype(np.uint16).reshape(n, -1)).view(np.uint8)
+
+
+def decode_blocks(tex_fmt: int, blocks_u8: np.ndarray,
+                  mode_mask=0xFFFFFFFF, flags=0):
+    """Decode (N, block_bytes) u8 blocks to native per-block pixel bytes
+    ((N, 16*ps) u8) plus validity; invalid blocks are NOT zeroed here —
+    callers zero in the *target* format (texture.c:90-93)."""
+    idx = F.compressed_index(tex_fmt)
+    words = words_from_bytes(blocks_u8)
+    pix, valid = decode_blocks_device(tex_fmt, words, mode_mask, flags)
+    return _native_bytes(idx, pix), np.asarray(valid)
+
+
+def _assemble_linear(block_pixels: np.ndarray, wb: int, hb: int,
+                     width: int, height: int, ps: int) -> np.ndarray:
+    """(N, 16*ps) per-block pixel bytes -> (height*width*ps,) linear
+    bytes, cropping partial edge blocks (texture.c:115-143)."""
+    tiles = block_pixels.reshape(hb, wb, 4, 4, ps)
+    img = tiles.transpose(0, 2, 1, 3, 4).reshape(hb * 4, wb * 4, ps)
+    return np.ascontiguousarray(img[:height, :width]).ravel()
+
+
+def decompress_texture_linear(tex: Texture, pixel_format: int = None,
+                              mode_mask=0xFFFFFFFF, flags=0) -> np.ndarray:
+    """Decode a whole texture row-major (reference
+    detexDecompressTextureLinear, texture.c:105-145).  Returns flat u8
+    bytes of width*height pixels in `pixel_format` (default: the
+    format's native decoded pixel format)."""
+    if pixel_format is None:
+        pixel_format = F.texture_pixel_format(tex.format)
+    if not F.is_compressed(tex.format):
+        return C.convert_pixels(tex.data, tex.width * tex.height,
+                                F.texture_pixel_format(tex.format),
+                                pixel_format)
+    blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
+    native, valid = decode_blocks(tex.format, blocks, mode_mask, flags)
+    src_fmt = F.texture_pixel_format(tex.format)
+    ps_out = F.pixel_size(pixel_format)
+    n_px = native.shape[0] * 16
+    converted = C.convert_pixels(native.ravel(), n_px, src_fmt,
+                                 pixel_format).reshape(native.shape[0],
+                                                       16 * ps_out)
+    # Invalid blocks are zero in the *target* format (texture.c:125-127).
+    converted = np.where(valid[:, None], converted, 0).astype(np.uint8)
+    return _assemble_linear(converted, tex.width_in_blocks,
+                            tex.height_in_blocks, tex.width, tex.height,
+                            ps_out)
+
+
+def decompress_texture_tiled(tex: Texture, pixel_format: int = None,
+                             mode_mask=0xFFFFFFFF, flags=0) -> np.ndarray:
+    """Decode into per-block tiles (reference detexDecompressTextureTiled,
+    texture.c:77-98): output is blocks of 16 converted pixels, one after
+    another."""
+    if pixel_format is None:
+        pixel_format = F.texture_pixel_format(tex.format)
+    if not F.is_compressed(tex.format):
+        raise ValueError("Cannot handle uncompressed texture format")
+    blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
+    native, valid = decode_blocks(tex.format, blocks, mode_mask, flags)
+    src_fmt = F.texture_pixel_format(tex.format)
+    ps_out = F.pixel_size(pixel_format)
+    n_px = native.shape[0] * 16
+    converted = C.convert_pixels(native.ravel(), n_px, src_fmt,
+                                 pixel_format).reshape(native.shape[0],
+                                                       16 * ps_out)
+    converted = np.where(valid[:, None], converted, 0).astype(np.uint8)
+    return converted.ravel()

@@ -94,6 +94,9 @@ FLOAT_RGBA16 = _pf(COMPONENT_16BIT, HAS_ALPHA, FOUR_COMPONENTS, PIXEL_64BIT,
 FLOAT_RGBA16_HDR = _pf(COMPONENT_16BIT, HAS_ALPHA, FOUR_COMPONENTS,
                        PIXEL_64BIT, FLOAT)
 
+FLOAT_BGRX16 = _pf(COMPONENT_16BIT, ORDER_BGR, THREE_COMPONENTS,
+                   PIXEL_64BIT, FLOAT)
+
 FLOAT_R32 = _pf(COMPONENT_32BIT, ONE_COMPONENT, PIXEL_32BIT, FLOAT)
 FLOAT_RG32 = _pf(COMPONENT_32BIT, TWO_COMPONENTS, PIXEL_64BIT, FLOAT)
 FLOAT_RGB32 = _pf(COMPONENT_32BIT, THREE_COMPONENTS, PIXEL_96BIT, FLOAT)

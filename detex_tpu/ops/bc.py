@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from detex_tpu import formats as F
-from detex_tpu.ops.bitops import field, pack_rgba8, shr
+from detex_tpu.ops.bitops import field, has_flag, pack_rgba8, shr
 
 _FULL = 0xFFFFFFFF
 
@@ -101,10 +101,8 @@ def decode_bc1a(words, mode_mask: int = _FULL, flags: int = 0):
     a = jnp.where(idx == 3, alpha3[:, None], 0xFF)
     pix = pack_rgba8(_select4(idx, r), _select4(idx, g), _select4(idx, b), a)
     valid = jnp.ones(words.shape[0], dtype=bool)
-    if flags & F.FLAG_NON_OPAQUE_ONLY:
-        valid = valid & ~opaque
-    if flags & F.FLAG_OPAQUE_ONLY:
-        valid = valid & opaque
+    valid = valid & ~(has_flag(flags, F.FLAG_NON_OPAQUE_ONLY) & opaque)
+    valid = valid & ~(has_flag(flags, F.FLAG_OPAQUE_ONLY) & ~opaque)
     return pix, valid
 
 
@@ -124,10 +122,9 @@ def decode_bc2(words, mode_mask: int = _FULL, flags: int = 0):
     a = a4 * 255 // 15
     pix = pack_rgba8(_select4(idx, r), _select4(idx, g), _select4(idx, b), a)
     valid = jnp.ones(words.shape[0], dtype=bool)
-    if flags & F.FLAG_ENCODE:
-        c0 = jnp.bitwise_and(colors, 0xFFFF)
-        c1 = shr(colors, 16)
-        valid = valid & (c0 > c1)
+    c0 = jnp.bitwise_and(colors, 0xFFFF)
+    c1 = shr(colors, 16)
+    valid = valid & ~(has_flag(flags, F.FLAG_ENCODE) & ~(c0 > c1))
     return pix, valid
 
 
@@ -186,10 +183,8 @@ def decode_bc3(words, mode_mask: int = _FULL, flags: int = 0):
     a, a0, a1 = _bc3_alpha(words)
     pix = pack_rgba8(_select4(idx, r), _select4(idx, g), _select4(idx, b), a)
     valid = jnp.ones(words.shape[0], dtype=bool)
-    if flags & F.FLAG_OPAQUE_ONLY:
-        valid = valid & ~(a0 > a1)
-    if flags & F.FLAG_ENCODE:
-        c0 = jnp.bitwise_and(colors, 0xFFFF)
-        c1 = shr(colors, 16)
-        valid = valid & (c0 > c1)
+    valid = valid & ~(has_flag(flags, F.FLAG_OPAQUE_ONLY) & (a0 > a1))
+    c0 = jnp.bitwise_and(colors, 0xFFFF)
+    c1 = shr(colors, 16)
+    valid = valid & ~(has_flag(flags, F.FLAG_ENCODE) & ~(c0 > c1))
     return pix, valid

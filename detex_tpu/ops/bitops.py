@@ -133,6 +133,29 @@ def interleave_u16_pairs(lo16, hi16):
     return jnp.bitwise_or(jnp.bitwise_and(lo16, 0xFFFF), hi16 << 16)
 
 
+def _as_u32_scalar(x):
+    if isinstance(x, int):
+        return np.uint32(x & 0xFFFFFFFF)
+    return x
+
+
+def has_flag(flags, bit: int):
+    """Traceable flag test: works for Python ints and traced scalars.
+
+    Returning a jnp bool scalar keeps decoder validity logic inside one
+    compiled graph per family — mode_mask/flags are runtime inputs, not
+    static compile-time constants."""
+    f = jnp.asarray(_as_u32_scalar(flags)).astype(jnp.uint32)
+    return jnp.not_equal(jnp.bitwise_and(f, jnp.uint32(bit)), 0)
+
+
+def mask_bit(mask, bit_index):
+    """Traceable `(mask >> bit_index) & 1 != 0` with array bit_index."""
+    idx = jnp.clip(bit_index, 0, 31).astype(jnp.uint32)
+    m = jnp.asarray(_as_u32_scalar(mask)).astype(jnp.uint32)
+    return jnp.not_equal(jnp.bitwise_and(m >> idx, jnp.uint32(1)), 0)
+
+
 def pack_rgba8(r, g, b, a):
     """Pack 8-bit components into a little-endian RGBA8 uint32-as-int32
     (reference detexPack32RGBA8, detex.h:1006-1016)."""

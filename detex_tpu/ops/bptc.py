@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from detex_tpu import formats as F
-from detex_tpu.ops.bitops import dyn_field, field_words, pack_rgba8
+from detex_tpu.ops.bitops import (dyn_field, field_words, has_flag, mask_bit,
+                                  pack_rgba8)
 
 _FULL = 0xFFFFFFFF
 
@@ -296,12 +297,7 @@ def decode_bptc(words, mode_mask: int = _FULL, flags: int = 0):
     pix = _decode_mode(words, 0)
     for m in range(1, 8):
         pix = jnp.where((mode == m)[:, None], _decode_mode(words, m), pix)
-    valid = mode >= 0
-    allowed = np.array([bool(mode_mask & (1 << m)) for m in range(8)]
-                       + [False], dtype=bool)
-    valid = valid & jnp.asarray(allowed)[jnp.where(mode < 0, 8, mode)]
-    if flags & F.FLAG_OPAQUE_ONLY:
-        valid = valid & (mode < 4)
-    if flags & F.FLAG_NON_OPAQUE_ONLY:
-        valid = valid & (mode >= 4)
+    valid = (mode >= 0) & mask_bit(mode_mask, mode)
+    valid = valid & ~(has_flag(flags, F.FLAG_OPAQUE_ONLY) & (mode >= 4))
+    valid = valid & ~(has_flag(flags, F.FLAG_NON_OPAQUE_ONLY) & (mode < 4))
     return pix, valid

@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from detex_tpu.ops.bitops import dyn_field, field, field_words
+from detex_tpu.ops.bitops import dyn_field, field, field_words, mask_bit
 from detex_tpu.ops.bptc import _ANCHOR2, _P2, _WEIGHTS
 
 _FULL = 0xFFFFFFFF
@@ -305,9 +305,7 @@ def _decode_shared(words, mode_mask: int, flags: int, signed: bool):
     n = words.shape[0]
     pix = jnp.concatenate(
         [rgb, jnp.zeros((n, 16, 1), jnp.int32)], axis=-1)
-    allowed = np.array([bool(mode_mask & (1 << m)) for m in range(14)]
-                       + [False], dtype=bool)
-    valid = (mode >= 0) & jnp.asarray(allowed)[jnp.where(mode < 0, 14, mode)]
+    valid = (mode >= 0) & mask_bit(mode_mask, mode)
     return pix, valid
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from detex_tpu import formats as F
-from detex_tpu.ops.bitops import field, field64
+from detex_tpu.ops.bitops import field, field64, has_flag
 
 _FULL = 0xFFFFFFFF
 
@@ -96,8 +96,7 @@ def decode_eac_alpha(w0, w1, flags: int = 0):
     mod, _ = _modifiers(w0, w1, EAC_MODIFIER_TABLE)
     val = jnp.clip(base[:, None] + mod * multiplier[:, None], 0, 255)
     valid = jnp.ones(w0.shape[0], dtype=bool)
-    if flags & F.FLAG_ENCODE:
-        valid = valid & (multiplier != 0)
+    valid = valid & ~(has_flag(flags, F.FLAG_ENCODE) & (multiplier == 0))
     return val, valid
 
 

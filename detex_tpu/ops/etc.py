@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from detex_tpu import formats as F
-from detex_tpu.ops.bitops import field, pack_rgba8, shr
+from detex_tpu.ops.bitops import field, has_flag, mask_bit, pack_rgba8, shr
 from detex_tpu.ops.eac import bswap32, decode_eac_alpha
 
 _FULL = 0xFFFFFFFF
@@ -273,10 +273,10 @@ def decode_etc1(words, mode_mask: int = _FULL, flags: int = 0):
     b = jnp.where(dm, bd, bi)
     pix = pack_rgba8(r, g, b, _alpha_ff(r.shape))
     valid = jnp.where(differential, diff_ok, True)
-    if not (mode_mask & F.MODE_MASK_ETC_DIFFERENTIAL):
-        valid = valid & ~differential
-    if not (mode_mask & F.MODE_MASK_ETC_INDIVIDUAL):
-        valid = valid & differential
+    valid = valid & ~(~has_flag(mode_mask, F.MODE_MASK_ETC_DIFFERENTIAL)
+                     & differential)
+    valid = valid & ~(~has_flag(mode_mask, F.MODE_MASK_ETC_INDIVIDUAL)
+                      & ~differential)
     return pix, valid
 
 
@@ -346,15 +346,11 @@ def _select_by_mode(mode, pix_by_mode):
     return out
 
 
-def _mode_mask_valid(mode, mode_mask: int, etc1_dispatch: bool = True):
-    """Validity from a static mode_mask (decompress-etc.c:92-98, 329-366)."""
-    allowed = np.ones(5, dtype=bool)
-    allowed[0] = bool(mode_mask & F.MODE_MASK_ETC_INDIVIDUAL)
-    allowed[1] = bool(mode_mask & F.MODE_MASK_ETC_DIFFERENTIAL)
-    allowed[2] = bool(mode_mask & F.MODE_MASK_ETC_T)
-    allowed[3] = bool(mode_mask & F.MODE_MASK_ETC_H)
-    allowed[4] = bool(mode_mask & F.MODE_MASK_ETC_PLANAR)
-    return jnp.asarray(allowed)[mode]
+def _mode_mask_valid(mode, mode_mask):
+    """Per-block validity from the runtime mode_mask
+    (decompress-etc.c:92-98, 329-366).  The ETC mode-mask bit for
+    per-block mode k is simply bit k (MODE_MASK_ETC_* are 1<<k)."""
+    return mask_bit(mode_mask, mode)
 
 
 def decode_etc2(words, mode_mask: int = _FULL, flags: int = 0):
@@ -383,12 +379,10 @@ def decode_etc2_punchthrough(words, mode_mask: int = _FULL, flags: int = 0):
                                   jnp.where(overflow[2], 4, 1)))
     pix = _select_by_mode(mode_pt, pix_by_mode)
     valid = _mode_mask_valid(mode_pt, mode_mask)
-    if flags & F.FLAG_NON_OPAQUE_ONLY:
-        valid = valid & ~opaque
-        # Planar is always opaque (decompress-etc.c:700-702).
-        valid = valid & (mode_pt != 4)
-    if flags & F.FLAG_OPAQUE_ONLY:
-        valid = valid & opaque
+    non_op = has_flag(flags, F.FLAG_NON_OPAQUE_ONLY)
+    # Planar is always opaque (decompress-etc.c:700-702).
+    valid = valid & ~(non_op & (opaque | (mode_pt == 4)))
+    valid = valid & ~(has_flag(flags, F.FLAG_OPAQUE_ONLY) & ~opaque)
     return pix, valid
 
 

@@ -16,8 +16,20 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 from pathlib import Path  # noqa: E402
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The environment's sitecustomize force-registers the axon TPU platform
+# via jax.config (JAX_PLATFORMS env alone is overridden), so pin the
+# platform back to CPU here unless the suite is explicitly run on TPU.
+if not os.environ.get("DETEX_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: repeat test runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/detex_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 GOLDEN_DIR = Path(__file__).parent / "golden"
 

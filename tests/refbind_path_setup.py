@@ -1,0 +1,6 @@
+"""Adds tools/ to sys.path so tests can import the reference oracle."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))

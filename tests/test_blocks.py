@@ -63,13 +63,16 @@ FAMILIES = {
 
 @functools.lru_cache(maxsize=None)
 def _jitted(family):
-    return jax.jit(FAMILIES[family][0], static_argnums=(1, 2))
+    # mode_mask/flags are traced runtime scalars: one compile per
+    # family covers every mask/flag variant.
+    return jax.jit(FAMILIES[family][0])
 
 
 def run_decoder(family, blocks_u8, mode_mask=0xFFFFFFFF, flags=0):
     _, pack = FAMILIES[family]
     words = words_from_bytes(blocks_u8)
-    pix, valid = _jitted(family)(words, mode_mask, flags)
+    pix, valid = _jitted(family)(words, np.uint32(mode_mask),
+                                 np.uint32(flags))
     out_bytes = pack(pix)
     valid = np.asarray(valid)
     # invalid blocks are zero-filled, mirroring texture.c:90-93

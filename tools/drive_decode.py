@@ -7,12 +7,15 @@ default JAX device.
 Usage: python tools/drive_decode.py [FAMILY ...]
 """
 
+import os
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/detex_jax_cache")
 
 import jax
 import numpy as np
