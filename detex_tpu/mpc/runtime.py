@@ -1,0 +1,118 @@
+"""Visual-MPC runtime: fused decode -> encode -> plan control step.
+
+The north-star architecture (BASELINE.md): observations arrive as
+compressed BC7 texture blocks; one jitted step decodes them in-HBM with
+the batched block decoder, encodes to the latent, and runs MPPI (with
+optional iLQR refinement) — no host round-trip inside the step.
+
+Multi-chip: the MPPI rollout batch shards over the mesh "dp" axis and
+the dynamics matmuls over "tp"; the same jitted step runs on any mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detex_tpu import formats as F
+from detex_tpu.mpc import dynamics as D
+from detex_tpu.mpc import ilqr as ilqr_mod
+from detex_tpu.mpc import mppi as mppi_mod
+from detex_tpu.ops import bptc
+
+
+@dataclasses.dataclass(frozen=True)
+class ControllerConfig:
+    dynamics: D.DynamicsConfig = D.DynamicsConfig()
+    mppi: mppi_mod.MPPIConfig = mppi_mod.MPPIConfig()
+    obs_format: int = F.BPTC
+    n_ilqr_iterations: int = 0     # 0 disables iLQR refinement
+    goal_weight: float = 1.0
+    control_weight: float = 0.1
+
+
+def unpack_rgba8_image(packed: jnp.ndarray, height: int,
+                       width: int) -> jnp.ndarray:
+    """(N_blocks, 16) packed RGBA8 int32 -> (H, W, 4) int32 0..255."""
+    hb, wb = height // 4, width // 4
+    img = packed.reshape(hb, wb, 4, 4).transpose(0, 2, 1, 3) \
+        .reshape(height, width)
+    r = jnp.bitwise_and(img, 0xFF)
+    g = jnp.bitwise_and(img >> 8, 0xFF)
+    b = jnp.bitwise_and(img >> 16, 0xFF)
+    a = jnp.bitwise_and(img >> 24, 0xFF)
+    return jnp.stack([r, g, b, a], axis=-1)
+
+
+def decode_obs(words: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """BC7 block words (N, 4) -> (H, W, 4) uint8-valued image, in-graph."""
+    pix, _ = bptc.decode_bptc(words)
+    return unpack_rgba8_image(pix, height, width)
+
+
+def latent_cost_fn(goal_z: jnp.ndarray, cfg: ControllerConfig):
+    """Quadratic latent-goal cost for the planner."""
+    def cost(z, u, t):
+        return (cfg.goal_weight * jnp.sum((z - goal_z[None]) ** 2, axis=-1)
+                + cfg.control_weight * jnp.sum(u ** 2, axis=-1))
+    return cost
+
+
+def control_step(params, nominal, key, obs_words, goal_z,
+                 cfg: ControllerConfig):
+    """One full control step (jit this, donate `nominal`):
+
+    decode BC7 obs -> encode -> MPPI update -> (optional iLQR) ->
+    (action u_0, shifted nominal, diagnostics)."""
+    dcfg = cfg.dynamics
+    img = decode_obs(obs_words, dcfg.image_size, dcfg.image_size)
+    z0 = D.encode(params, img[None].astype(jnp.uint8), dcfg)[0]
+
+    def dyn_batched(z, u):
+        return D.dynamics_apply(params, z, u, dcfg)
+
+    cost = latent_cost_fn(goal_z, cfg)
+    new_nominal, diag = mppi_mod.mppi_step(
+        key, nominal, z0, dyn_batched, cost, cfg.mppi)
+
+    if cfg.n_ilqr_iterations > 0:
+        def dyn1(x, u):
+            return dyn_batched(x[None], u[None])[0]
+
+        def cost1(x, u, t):
+            return cost(x[None], u[None], t)[0]
+
+        _, new_nominal, refined_cost = ilqr_mod.ilqr_solve(
+            dyn1, cost1, lambda x: jnp.float32(0.0), z0, new_nominal,
+            ilqr_mod.ILQRConfig(n_iterations=cfg.n_ilqr_iterations))
+        diag = dict(diag, ilqr_cost=refined_cost)
+
+    action = new_nominal[0]
+    shifted = mppi_mod.receding_horizon_shift(new_nominal)
+    return action, shifted, diag
+
+
+class Controller:
+    """Stateful convenience wrapper around the jitted control step."""
+
+    def __init__(self, params, goal_z, cfg: ControllerConfig,
+                 seed: int = 0):
+        self.params = params
+        self.goal_z = goal_z
+        self.cfg = cfg
+        self.key = jax.random.PRNGKey(seed)
+        self.nominal = jnp.zeros(
+            (cfg.mppi.horizon, cfg.mppi.action_dim), jnp.float32)
+        self._step = jax.jit(
+            functools.partial(control_step, cfg=cfg), donate_argnums=(1,))
+
+    def step(self, obs_words) -> np.ndarray:
+        self.key, sub = jax.random.split(self.key)
+        action, self.nominal, self.diag = self._step(
+            self.params, self.nominal, sub, obs_words, self.goal_z)
+        return np.asarray(action)
