@@ -30,11 +30,11 @@ N_ITERS = 20
 
 
 def bench_ours(blocks_u8: np.ndarray) -> float:
-    from detex_tpu.ops import bptc
+    from detex_tpu.ops import bptc_fast
     from detex_tpu.ops.bitops import words_from_bytes
 
     words = jax.device_put(words_from_bytes(blocks_u8))
-    fn = jax.jit(lambda w: bptc.decode_bptc(w))
+    fn = jax.jit(lambda w: bptc_fast.decode_bptc_fast(w))
     for _ in range(N_WARMUP):
         jax.block_until_ready(fn(words))
     t0 = time.perf_counter()

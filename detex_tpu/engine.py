@@ -24,7 +24,7 @@ import numpy as np
 
 from detex_tpu import convert as C
 from detex_tpu import formats as F
-from detex_tpu.ops import bc, bptc, bptc_float, eac, etc, rgtc
+from detex_tpu.ops import bc, bptc_fast, bptc_float, eac, etc, rgtc
 from detex_tpu.ops.bitops import words_from_bytes
 from detex_tpu.texture import Texture
 
@@ -42,7 +42,7 @@ _DECODERS = {
     F.IDX_SIGNED_RGTC2: (rgtc.decode_signed_rgtc2, "i16"),
     F.IDX_BPTC_FLOAT: (bptc_float.decode_bptc_float, "u16"),
     F.IDX_BPTC_SIGNED_FLOAT: (bptc_float.decode_bptc_signed_float, "u16"),
-    F.IDX_BPTC: (bptc.decode_bptc, "u32"),
+    F.IDX_BPTC: (bptc_fast.decode_bptc_fast, "u32"),
     F.IDX_ETC1: (etc.decode_etc1, "u32"),
     F.IDX_ETC2: (etc.decode_etc2, "u32"),
     F.IDX_ETC2_PUNCHTHROUGH: (etc.decode_etc2_punchthrough, "u32"),

@@ -11,7 +11,7 @@ import jax
 import numpy as np
 import pytest
 
-from detex_tpu.ops import bc, bptc, bptc_float, eac, etc, rgtc
+from detex_tpu.ops import bc, bptc, bptc_fast, bptc_float, eac, etc, rgtc
 from detex_tpu.ops.bitops import words_from_bytes
 
 
@@ -48,6 +48,7 @@ FAMILIES = {
     "SIGNED_RGTC1": (rgtc.decode_signed_rgtc1, _pack_i16),
     "SIGNED_RGTC2": (rgtc.decode_signed_rgtc2, _pack_i16),
     "BPTC": (bptc.decode_bptc, _pack_u32),
+    "BPTC_FAST": (bptc_fast.decode_bptc_fast, _pack_u32),
     "BPTC_FLOAT": (bptc_float.decode_bptc_float, _pack_u16),
     "BPTC_SIGNED_FLOAT": (bptc_float.decode_bptc_signed_float, _pack_u16),
     "ETC1": (etc.decode_etc1, _pack_u32),
@@ -81,7 +82,9 @@ def run_decoder(family, blocks_u8, mode_mask=0xFFFFFFFF, flags=0):
 
 
 def check_family(golden, family):
-    g = golden(family)
+    # BPTC_FAST is an alternate implementation validated against the
+    # same goldens as BPTC.
+    g = golden("BPTC" if family == "BPTC_FAST" else family)
     for prefix in ("corpus", "random"):
         if f"{prefix}_blocks" not in g:
             continue

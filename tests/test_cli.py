@@ -64,6 +64,22 @@ def test_raw_output(tmp_path):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_view_app(tmp_path):
+    from detex_tpu.cli.view import main as view_main
+    out = tmp_path / "v.png"
+    assert view_main([f"{REF}/test-texture-BPTC.ktx", "-o", str(out),
+                      "-z", "2"]) == 0
+    tex = tio.load_png(str(out))
+    assert tex.width == 128 and tex.height == 128
+
+
+def test_validate_app(tmp_path):
+    from detex_tpu.cli.validate import main as validate_main
+    out = tmp_path / "sheet.png"
+    assert validate_main(["-q", "-o", str(out)]) == 0
+    assert out.exists()
+
+
 def test_bad_format_name():
     with pytest.raises(SystemExit):
         main(["-q", "-f", "NOPE", "a.ktx", "b.ktx"])
