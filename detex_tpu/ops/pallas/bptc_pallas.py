@@ -1,0 +1,381 @@
+"""BC7 (BPTC) block decode as a fused Pallas TPU kernel.
+
+Same contract and bit-exact semantics as ops.bptc.decode_bptc
+(reference: decompress-bptc.c:354-512), implemented as one VMEM-resident
+VPU pass per tile of blocks:
+
+  * layout: blocks live on (sublane, lane) = (8, L); words are
+    (4, 8, L) int32 in, pixels (16, 8, L) packed RGBA8 + (8, L)
+    validity out.  Block b <-> (s, l) with b = s*L + l.
+  * every per-mode stream offset is *derived arithmetically* from a
+    handful of per-mode constants (8-way select chains on the VPU);
+    the derivations are verified against the table-driven layout of
+    ops.bptc at import time.
+  * the only true table lookups — partition subset ids, anchor
+    positions, anchors-before counts (bptc-tables.c:23-188) — are
+    bit-packed into one int32 per (ns, partition) and gathered inside
+    the kernel by a 64-way binary select tree on the partition-set id
+    (63 VPU selects per table, no HBM traffic, no XLA gather op).
+  * bitfield extraction = two-word funnel shift with the word pair
+    chosen by a 4-way select (replaces reference bits.c:22-44).
+  * interpolation weights are computed arithmetically: the aWeight
+    tables (bptc-tables.c:190-201) equal floor((64*i + c)/d) with
+    (c,d) = (1,3)/(3,7)/(7,15); the divisions are exact multiply-shift
+    magics, verified against the tables at import time.
+
+Use decode_bptc_planar for the zero-copy perf path; decode_bptc wraps
+it with (N, 4) <-> (N, 16) transposes for drop-in parity with
+ops.bptc.decode_bptc.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from detex_tpu.ops import bptc_fast as BF
+from detex_tpu.ops.pallas import use_interpret
+
+_FULL = 0xFFFFFFFF
+
+# Per-mode scalar constants (decompress-bptc.c:45-71).
+_NS = np.asarray(BF._T_NS)
+_PB = np.asarray(BF._T_PB)
+_CP = np.asarray(BF._T_CP)
+_CPP = np.asarray(BF._T_CPP)
+_AP = np.asarray(BF._T_AP)
+_APP = np.asarray(BF._T_APP)
+_IB = np.asarray(BF._T_IB)
+_IB2 = np.asarray(BF._T_IB2)
+_HASPB = (_CPP > _CP) | (_APP > _AP)
+
+# ---------------------------------------------------------------------------
+# Packed partition tables, indexed q = (ns-1)*64 + psid:
+#   SUB32: 16 x 2-bit subset ids      BEF32: 16 x 2-bit anchors-before
+#   ANC16: 16 x 1-bit is-anchor bitmap
+# ---------------------------------------------------------------------------
+
+
+def _build_packed():
+    subset = np.asarray(BF._T_SUBSET).reshape(192, 16)
+    is_anchor = np.zeros((3, 64, 16), bool)
+    is_anchor[:, :, 0] = True
+    a = np.arange(64)
+    anchors = np.asarray(BF._T_ANCHORS)
+    is_anchor[1, a, anchors[:, 0]] = True
+    is_anchor[2, a, anchors[:, 1]] = True
+    is_anchor[2, a, anchors[:, 2]] = True
+    is_anchor = is_anchor.reshape(192, 16)
+    before = np.cumsum(is_anchor, axis=1) - is_anchor
+
+    def pack(vals, bits):
+        out = np.zeros(192, np.uint64)
+        for i in range(16):
+            out |= (vals[:, i].astype(np.uint64)) << (bits * i)
+        return (out & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    return pack(subset, 2), pack(before, 2), pack(is_anchor, 1)
+
+
+_SUB32, _BEF32, _ANC16 = _build_packed()
+
+# Verify the arithmetic stream-offset derivations against the
+# table-driven layout (ops.bptc._mode_layout / bptc_fast tables).
+for _m in range(8):
+    _lay = BF._LAY[_m]
+    _ep = _lay["ep"]
+    assert _lay["pb"] == _m + 1
+    assert _lay["rb"] == _m + 1 + _PB[_m]
+    assert _lay["isb"] == _lay["rb"] + (2 if _m in (4, 5) else 0)
+    assert _ep == _lay["isb"] + (1 if _m == 4 else 0)
+    assert _lay["alpha"] == _ep + _CP[_m] * _NS[_m] * 6
+    assert _lay["pbit"] == _lay["alpha"] + _AP[_m] * _NS[_m] * 2
+    _npb = (2 if _m == 1 else _NS[_m] * 2) if _HASPB[_m] else 0
+    assert _lay["index"] == _lay["pbit"] + _npb
+    assert (BF._MODE_STATIC[_m]["sec_start"]
+            == _lay["index"] + _IB[_m] * 16 - _NS[_m])
+    for _c in range(3):
+        for _j in range(_NS[_m]):
+            for _k in range(2):
+                assert (BF._T_EP_OFF[_m, _c, _j, _k]
+                        == _ep + (_c * _NS[_m] * 2 + _j * 2 + _k)
+                        * _CP[_m])
+    if _AP[_m]:
+        for _j in range(_NS[_m]):
+            for _k in range(2):
+                assert (BF._T_EP_OFF[_m, 3, _j, _k]
+                        == _lay["alpha"] + (_j * 2 + _k) * _AP[_m])
+
+# Multiply-shift magics for the aWeight tables.
+for _bits, (_c, _mul, _sh) in {2: (1, 683, 11), 3: (3, 9363, 16),
+                               4: (7, 34953, 19)}.items():
+    _i = np.arange(1 << _bits)
+    _w = ((64 * _i + _c) * _mul) >> _sh
+    assert np.array_equal(_w, BF._WEIGHTS[_bits]), (_bits, _w)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _shr(x, n):
+    return lax.shift_right_logical(x, n)
+
+
+def _shl(x, n):
+    return lax.shift_left(x, n)
+
+
+def _vmask(width):
+    """(1 << width) - 1 for vector widths in [0, 16]."""
+    return _shl(jnp.ones_like(width), width) - 1
+
+
+def _extract_mode_v(b0):
+    """Lowest set bit of byte0; none -> -1 (decompress-bptc.c:229-237)."""
+    mode = jnp.full(b0.shape, -1, jnp.int32)
+    for i in range(7, -1, -1):
+        mode = jnp.where((b0 & (1 << i)) != 0, i, mode)
+    return mode
+
+
+def _gather64(tab, bits):
+    """Gather from a 64-entry int32 numpy table by a vector index given
+    as 6 precomputed boolean bit vectors — a binary select tree (63
+    selects, all VPU; replaces an XLA gather op)."""
+    cur = [int(v) for v in tab]
+    for level in range(6):
+        b = bits[level]
+        cur = [jnp.where(b, hi, lo)
+               for lo, hi in zip(cur[0::2], cur[1::2])]
+    return cur[0]
+
+
+def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
+    w = [words_ref[i] for i in range(4)]          # each (8, L)
+
+    def dynf(start, width: int):
+        """width<=16 bits at dynamic bit offset `start` (vector)."""
+        w0 = _shr(start, 5)
+        bit = start & 31
+        lo = jnp.where(w0 == 0, w[0],
+                       jnp.where(w0 == 1, w[1],
+                                 jnp.where(w0 == 2, w[2], w[3])))
+        hi = jnp.where(w0 == 0, w[1],
+                       jnp.where(w0 == 1, w[2], w[3]))
+        lo_part = _shr(lo, bit)
+        hi_part = jnp.where(bit == 0, 0, _shl(hi, (32 - bit) & 31))
+        return (lo_part | hi_part) & ((1 << width) - 1)
+
+    mode_raw = _extract_mode_v(w[0] & 0xFF)
+    mode = jnp.maximum(mode_raw, 0)
+
+    def msel(tab):
+        """Per-block gather from an 8-entry mode table (select chain)."""
+        out = jnp.full(mode.shape, int(tab[7]), jnp.int32)
+        for m in range(6, -1, -1):
+            out = jnp.where(mode == m, int(tab[m]), out)
+        return out
+
+    ns = msel(_NS)
+    pb_w = msel(_PB)
+    cp, cpp = msel(_CP), msel(_CPP)
+    ap, app = msel(_AP), msel(_APP)
+    ib, ib2 = msel(_IB), msel(_IB2)
+    has_pb = msel(_HASPB.astype(np.int32))
+    is_m1 = mode == 1
+    is_m4 = mode == 4
+    is_m6 = mode == 6
+
+    # Stream offsets, derived arithmetically (verified at import).
+    pb_start = mode + 1
+    rb_w = jnp.where(is_m4 | (mode == 5), 2, 0)
+    isb_start = pb_start + pb_w + rb_w
+    ep_base = isb_start + jnp.where(is_m4, 1, 0)
+    ns2 = ns * 2
+    alpha_base = ep_base + cp * ns * 6
+    pbit_base = alpha_base + ap * ns2
+    index_start = pbit_base + has_pb * jnp.where(is_m1, 2, ns2)
+    sec_start = index_start + ib * 16 - ns
+
+    psid = dynf(pb_start, 6) & _vmask(pb_w)
+    rot = dynf(pb_start + pb_w, 2) & _vmask(rb_w)
+    isb = jnp.where(is_m4, dynf(isb_start, 1), 0)
+
+    # Partition-table lookups via select trees.  ns == 1 rows are
+    # constants: subset 0 everywhere, pixel 0 the only anchor.
+    pbits_vec = [(psid & (1 << i)) != 0 for i in range(6)]
+
+    def ptab(table):
+        g2 = _gather64(table[64:128], pbits_vec)
+        g3 = _gather64(table[128:192], pbits_vec)
+        one = int(table[0])
+        return jnp.where(ns == 1, one, jnp.where(ns == 2, g2, g3))
+
+    sub32 = ptab(_SUB32)
+    bef32 = ptab(_BEF32)
+    anc16 = ptab(_ANC16)
+
+    # --- endpoints: ep[c][j][k], dequantized to 8 bits ------------------
+    no_alpha = ap == 0
+    pbit = [[None, None] for _ in range(3)]
+    for j in range(3):
+        for k in range(2):
+            off = pbit_base + jnp.where(is_m1, j, j * 2 + k)
+            pb = dynf(off, 1)
+            if k == 1:
+                # mode 6 reads both p-bits from data0 >> 63, so the
+                # second one is always 0 (decompress-bptc.c:142-146)
+                pb = jnp.where(is_m6, 0, pb)
+            pbit[j][k] = pb
+    ep = [[[None, None] for _ in range(3)] for _ in range(4)]
+    for c in range(4):
+        pp = app if c == 3 else cpp
+        p = ap if c == 3 else cp
+        has_p = pp > p
+        pmask = _vmask(p)
+        shift_up = (8 - pp) & 31
+        for j in range(3):
+            for k in range(2):
+                if c == 3:
+                    off = alpha_base + (j * 2 + k) * ap
+                else:
+                    off = ep_base + (c * ns2 + j * 2 + k) * cp
+                raw = dynf(off, 8) & pmask
+                v = jnp.where(has_p, _shl(raw, 1) | pbit[j][k], raw)
+                v = _shl(v, shift_up)
+                v = v | _shr(v, pp)
+                if c == 3:
+                    v = jnp.where(no_alpha, 0xFF, v)
+                ep[c][j][k] = v & 0xFF
+
+    # --- per-block index-stream parameters ------------------------------
+    has_sec = ib2 > 0
+    isb_on = isb != 0
+    color_bits = jnp.where(has_sec & isb_on, ib2, ib + isb)
+    alpha_bits = jnp.where(has_sec, jnp.where(isb_on, ib, ib2), ib)
+
+    wc_c = jnp.where(color_bits == 2, 1, jnp.where(color_bits == 3, 3, 7))
+    wa_c = jnp.where(alpha_bits == 2, 1, jnp.where(alpha_bits == 3, 3, 7))
+
+    def weight(idx, bits, cadd):
+        a = 64 * idx + cadd
+        w2 = _shr(a * 683, 11)
+        w3 = _shr(a * 9363, 16)
+        w4 = _shr(a * 34953, 19)
+        return jnp.where(bits == 2, w2, jnp.where(bits == 3, w3, w4))
+
+    full_p = _vmask(ib)
+    anch_p = _vmask(ib - 1)
+    full_s = _vmask(ib2)
+    anch_s = _vmask(jnp.maximum(ib2 - 1, 0))
+
+    # --- 16 pixels -------------------------------------------------------
+    for i in range(16):
+        subset = _shr(sub32, 2 * i) & 3
+        before = _shr(bef32, 2 * i) & 3
+        is_anchor = (_shr(anc16, i) & 1) != 0
+
+        prim = dynf(index_start + ib * i - before, 4) \
+            & jnp.where(is_anchor, anch_p, full_p)
+        sec = dynf(sec_start + ib2 * i - before, 4) \
+            & jnp.where(is_anchor, anch_s, full_s)
+
+        color_idx = jnp.where(has_sec & isb_on, sec, prim)
+        alpha_idx = jnp.where(has_sec,
+                              jnp.where(isb_on, prim, sec), prim)
+        w_c = weight(color_idx, color_bits, wc_c)
+        w_a = weight(alpha_idx, alpha_bits, wa_c)
+
+        chans = []
+        for c in range(4):
+            wgt = w_a if c == 3 else w_c
+            e0 = jnp.where(subset == 1, ep[c][1][0],
+                           jnp.where(subset == 2, ep[c][2][0], ep[c][0][0]))
+            e1 = jnp.where(subset == 1, ep[c][1][1],
+                           jnp.where(subset == 2, ep[c][2][1], ep[c][0][1]))
+            chans.append(((64 - wgt) * e0 + wgt * e1 + 32) >> 6)
+        r, g, b, a = chans
+        new_r = jnp.where(rot == 1, a, r)
+        new_g = jnp.where(rot == 2, a, g)
+        new_b = jnp.where(rot == 3, a, b)
+        new_a = jnp.where(rot == 1, r,
+                          jnp.where(rot == 2, g,
+                                    jnp.where(rot == 3, b, a)))
+        pix_ref[i] = (new_r | _shl(new_g, 8) | _shl(new_b, 16)
+                      | _shl(new_a, 24))
+
+    # --- validity (decompress-bptc.c:361-369) ----------------------------
+    mm = jnp.broadcast_to(scal_ref[0], mode.shape)
+    fl = scal_ref[1]
+    mm_bit = _shr(mm, jnp.clip(mode_raw, 0, 31)) & 1
+    valid = (mode_raw >= 0) & (mm_bit != 0)
+    valid = valid & ~(((fl & 0x2) != 0) & (mode_raw >= 4))
+    valid = valid & ~(((fl & 0x4) != 0) & (mode_raw < 4))
+    valid_ref[...] = valid.astype(jnp.int32)
+
+
+def _to_i32_scalar(x):
+    if isinstance(x, (int, np.integer)):
+        return ((int(x) & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _call(words_planar, scal, tile: int, interpret: bool):
+    """words_planar: (4, N) int32 -> ((16, N) int32, (N,) bool)."""
+    n = words_planar.shape[1]
+    n_pad = -(-n // (8 * tile)) * (8 * tile)
+    wp = jnp.pad(words_planar, ((0, 0), (0, n_pad - n)))
+
+    ell = n_pad // 8
+    wp = wp.reshape(4, 8, ell)
+    grid = (ell // tile,)
+    pix, valid = pl.pallas_call(
+        _bc7_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 8, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, 8, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, 8, ell), jnp.int32),
+            jax.ShapeDtypeStruct((8, ell), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scal, wp)
+    return (pix.reshape(16, n_pad)[:, :n],
+            valid.reshape(n_pad)[:n] != 0)
+
+
+def decode_bptc_planar(words_planar, mode_mask: int = _FULL,
+                       flags: int = 0, *, tile: int = 512,
+                       interpret: bool | None = None):
+    """BC7 decode, planar layout: (4, N) int32 words ->
+    ((16, N) int32 packed RGBA8, (N,) bool valid)."""
+    if interpret is None:
+        interpret = use_interpret()
+    scal = jnp.asarray([_to_i32_scalar(mode_mask), _to_i32_scalar(flags)],
+                       jnp.int32)
+    return _call(words_planar, scal, tile, interpret)
+
+
+def decode_bptc(words, mode_mask: int = _FULL, flags: int = 0, **kw):
+    """Drop-in for ops.bptc.decode_bptc: (N, 4) int32 words ->
+    ((N, 16) int32, (N,) bool).  Prefer decode_bptc_planar in fused
+    pipelines — the transposes here cost extra HBM traffic."""
+    pix, valid = decode_bptc_planar(words.T, mode_mask, flags, **kw)
+    return pix.T, valid
