@@ -24,8 +24,10 @@ import numpy as np
 
 from detex_tpu import convert as C
 from detex_tpu import formats as F
-from detex_tpu.ops import bc, bptc_fast, bptc_float, eac, etc, rgtc
+from detex_tpu.ops import bc, bptc_float, eac, etc, rgtc
 from detex_tpu.ops.bitops import words_from_bytes
+from detex_tpu.ops.pallas import (bptc_float_pallas, bptc_pallas,
+                                  etc_eac_pallas)
 from detex_tpu.texture import Texture
 
 # compressed-format index -> (decoder, native packer kind)
@@ -40,17 +42,21 @@ _DECODERS = {
     F.IDX_SIGNED_RGTC1: (rgtc.decode_signed_rgtc1, "i16"),
     F.IDX_RGTC2: (rgtc.decode_rgtc2, "u8"),
     F.IDX_SIGNED_RGTC2: (rgtc.decode_signed_rgtc2, "i16"),
-    F.IDX_BPTC_FLOAT: (bptc_float.decode_bptc_float, "u16"),
-    F.IDX_BPTC_SIGNED_FLOAT: (bptc_float.decode_bptc_signed_float, "u16"),
-    F.IDX_BPTC: (bptc_fast.decode_bptc_fast, "u32"),
-    F.IDX_ETC1: (etc.decode_etc1, "u32"),
-    F.IDX_ETC2: (etc.decode_etc2, "u32"),
-    F.IDX_ETC2_PUNCHTHROUGH: (etc.decode_etc2_punchthrough, "u32"),
-    F.IDX_ETC2_EAC: (etc.decode_etc2_eac, "u32"),
-    F.IDX_EAC_R11: (eac.decode_eac_r11, "u16"),
-    F.IDX_EAC_SIGNED_R11: (eac.decode_eac_signed_r11, "i16"),
-    F.IDX_EAC_RG11: (eac.decode_eac_rg11, "u16"),
-    F.IDX_EAC_SIGNED_RG11: (eac.decode_eac_signed_rg11, "i16"),
+    F.IDX_BPTC_FLOAT: (bptc_float_pallas.decode_bptc_float_auto, "u16"),
+    F.IDX_BPTC_SIGNED_FLOAT: (bptc_float_pallas.decode_bptc_signed_float_auto,
+                              "u16"),
+    F.IDX_BPTC: (bptc_pallas.decode_bptc_auto, "u32"),
+    F.IDX_ETC1: (etc_eac_pallas.decode_etc1_auto, "u32"),
+    F.IDX_ETC2: (etc_eac_pallas.decode_etc2_auto, "u32"),
+    F.IDX_ETC2_PUNCHTHROUGH: (etc_eac_pallas.decode_etc2_punchthrough_auto,
+                              "u32"),
+    F.IDX_ETC2_EAC: (etc_eac_pallas.decode_etc2_eac_auto, "u32"),
+    F.IDX_EAC_R11: (etc_eac_pallas.decode_eac_r11_auto, "u16"),
+    F.IDX_EAC_SIGNED_R11: (etc_eac_pallas.decode_eac_signed_r11_auto,
+                           "i16"),
+    F.IDX_EAC_RG11: (etc_eac_pallas.decode_eac_rg11_auto, "u16"),
+    F.IDX_EAC_SIGNED_RG11: (etc_eac_pallas.decode_eac_signed_rg11_auto,
+                            "i16"),
 }
 
 

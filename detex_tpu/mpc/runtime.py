@@ -23,7 +23,7 @@ from detex_tpu import formats as F
 from detex_tpu.mpc import dynamics as D
 from detex_tpu.mpc import ilqr as ilqr_mod
 from detex_tpu.mpc import mppi as mppi_mod
-from detex_tpu.ops import bptc_fast
+from detex_tpu.ops.pallas import bptc_pallas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,8 +50,9 @@ def unpack_rgba8_image(packed: jnp.ndarray, height: int,
 
 
 def decode_obs(words: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """BC7 block words (N, 4) -> (H, W, 4) uint8-valued image, in-graph."""
-    pix, _ = bptc_fast.decode_bptc_fast(words)
+    """BC7 block words (N, 4) -> (H, W, 4) uint8-valued image, in-graph
+    (fused Pallas kernel on TPU)."""
+    pix, _ = bptc_pallas.decode_bptc_auto(words)
     return unpack_rgba8_image(pix, height, width)
 
 

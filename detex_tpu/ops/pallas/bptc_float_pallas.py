@@ -1,0 +1,306 @@
+"""BC6H (BPTC_FLOAT / BPTC_SIGNED_FLOAT) decode as a fused Pallas kernel.
+
+Bit-exact re-implementation of ops.bptc_float (reference:
+decompress-bptc-float.c:110-644) as a single VPU pass.  The reference's
+14-mode switch of hand-written bit scatters stays *static*: the kernel
+unrolls all 14 modes (every field extraction is a static two-word
+funnel, 2-3 ops), runs each mode's delta + unquantize arithmetic, and
+selects the surviving endpoint set per block by the detected mode — the
+per-block work is pure VPU with no gathers.  Partition subset bits,
+anchors-before counts, and anchor bitmaps for the 2-subset modes are
+bit-packed per partition id and gathered by 32-way select trees.
+
+Layout identical to bptc_pallas: words (4, 8, L) int32 in; output is a
+(48, 8, L) int32 plane stack (rows 0-15 R, 16-31 G, 32-47 B; u16 bit
+patterns) plus (8, L) validity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from detex_tpu.ops import bptc_float as BFJ
+from detex_tpu.ops.bptc import _ANCHOR2, _P2
+from detex_tpu.ops.pallas import use_interpret
+
+_FULL = 0xFFFFFFFF
+
+_EPB = BFJ._EPB
+_DELTA = BFJ._DELTA
+_FIELDS = BFJ._FIELDS
+
+# Packed per-partition tables for the 2-subset modes (BC6H uses 5-bit
+# partition ids -> 32 entries; decompress-bptc-float.c:529-541).
+_SUB16 = np.zeros(32, np.int64)
+_BEF32 = np.zeros(32, np.int64)
+_ANC16 = np.zeros(32, np.int64)
+for _p in range(32):
+    is_anchor = np.zeros(16, bool)
+    is_anchor[0] = True
+    is_anchor[_ANCHOR2[_p]] = True
+    before = np.cumsum(is_anchor) - is_anchor
+    for _i in range(16):
+        _SUB16[_p] |= int(_P2[_p, _i] & 1) << _i
+        _BEF32[_p] |= int(before[_i]) << (2 * _i)
+        _ANC16[_p] |= int(is_anchor[_i]) << _i
+_SUB16 = (_SUB16 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+_BEF32 = (_BEF32 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+_ANC16 = (_ANC16 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+# ns == 1 modes: 4-bit indices from bit 65, pixel 0 anchored
+# (decompress-bptc-float.c:543-551).
+_OFF_1 = [65 + 4 * i - (1 if i > 0 else 0) for i in range(16)]
+
+# Verify the weight magics (same as bptc_pallas).
+from detex_tpu.ops.bptc import _WEIGHTS  # noqa: E402
+for _bits, (_c, _mul, _sh) in {3: (3, 9363, 16), 4: (7, 34953, 19)}.items():
+    _i = np.arange(1 << _bits)
+    assert np.array_equal(((64 * _i + _c) * _mul) >> _sh, _WEIGHTS[_bits])
+
+
+def _shr(x, n):
+    return lax.shift_right_logical(x, n)
+
+
+def _shl(x, n):
+    return lax.shift_left(x, n)
+
+
+def _sel_tree32(tab, bits5):
+    cur = [int(v) for v in tab]
+    for b in bits5:
+        cur = [jnp.where(b, hi, lo) for lo, hi in zip(cur[0::2], cur[1::2])]
+    return cur[0]
+
+
+def _make_sfield(w):
+    """Static bitfield reader over the four 32-bit words."""
+    def sfield(lo: int, width: int):
+        wi, bit = lo // 32, lo % 32
+        if bit + width <= 32:
+            return _shr(w[wi], bit) & ((1 << width) - 1)
+        lo_part = _shr(w[wi], bit)
+        hi_part = _shl(w[wi + 1], 32 - bit)
+        return (lo_part | hi_part) & ((1 << width) - 1)
+    return sfield
+
+
+def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
+    w = [words_ref[i] for i in range(4)]
+    sfield = _make_sfield(w)
+
+    # --- mode (decompress-bptc-float.c:23-33, 487-494) -------------------
+    m2 = w[0] & 3
+    code5 = w[0] & 31
+    c_shift = _shr(code5, 2)
+    mode_raw = jnp.where(
+        m2 < 2, m2,
+        jnp.where(m2 == 2, 2 + c_shift,
+                  jnp.where(code5 < 16, 10 + c_shift, -1)))
+    mode = jnp.maximum(mode_raw, 0)
+
+    def sign_extend(v, bits: int):
+        half = 1 << (bits - 1)
+        return ((v & ((1 << bits) - 1)) ^ half) - half
+
+    # --- all 14 modes: endpoints -> final select -------------------------
+    final = {f"{c}{i}": None for c in "rgb" for i in range(4)}
+    for m in range(14):
+        epb = _EPB[m]
+        ep = {k: 0 for k in final}
+        for f in _FIELDS[m]:
+            dest, lo, hi, shift = f[0], f[1], f[2], f[3]
+            rev = len(f) > 4 and f[4]
+            if rev:
+                val = 0
+                for i in range(hi - lo + 1):
+                    val = val | _shl(sfield(hi - i, 1), i)
+            else:
+                val = sfield(lo, hi - lo + 1)
+            sval = _shl(val, shift) if shift else val
+            ep[dest] = sval if isinstance(ep[dest], int) else ep[dest] | sval
+        ns = 1 if m >= 10 else 2
+        for c in "rgb":
+            e = [ep[f"{c}{i}"] for i in range(4)]
+            for i in range(4):
+                if isinstance(e[i], int):
+                    e[i] = jnp.zeros_like(mode)
+            if signed:
+                e[0] = sign_extend(e[0], epb)
+            if _DELTA[m] is not None:
+                db = _DELTA[m]["rgb".index(c)]
+                for i in range(1, ns * 2):
+                    d = sign_extend(e[i], db)
+                    e[i] = (e[0] + d) & ((1 << epb) - 1)
+                    if signed:
+                        e[i] = sign_extend(e[i], epb)
+            elif signed:
+                for i in range(1, ns * 2):
+                    e[i] = sign_extend(e[i], epb)
+            # unquantize (decompress-bptc-float.c:52-86)
+            for i in range(ns * 2):
+                x = e[i]
+                if signed:
+                    if epb < 16:
+                        mag = jnp.abs(x)
+                        unq = _shr(_shl(mag, 15) + 0x4000, epb - 1)
+                        unq = jnp.where(mag == 0, 0,
+                                        jnp.where(mag >= (1 << (epb - 1)) - 1,
+                                                  0x7FFF, unq))
+                        x = jnp.sign(x) * unq
+                else:
+                    if m != 13:
+                        unq = _shr(_shl(x, 15) + 0x4000, epb - 1)
+                        x = jnp.where(x == 0, 0,
+                                      jnp.where(x == (1 << epb) - 1,
+                                                0xFFFF, unq))
+                e[i] = x
+            for i in range(4):
+                if i >= ns * 2:
+                    continue   # unused endpoint regs for 1-subset modes
+                key = f"{c}{i}"
+                if final[key] is None:
+                    final[key] = e[i]
+                else:
+                    final[key] = jnp.where(mode == m, e[i], final[key])
+
+    # --- shared pixel loop ------------------------------------------------
+    ns1 = mode >= 10
+    psid = sfield(77, 5)
+    pbits = [(psid & (1 << i)) != 0 for i in range(5)]
+    sub16 = _sel_tree32(_SUB16, pbits)
+    bef32 = _sel_tree32(_BEF32, pbits)
+    anc16 = _sel_tree32(_ANC16, pbits)
+
+    def dynf4(start):
+        w0i = _shr(start, 5)
+        bit = start & 31
+        lo = jnp.where(w0i == 0, w[0],
+                       jnp.where(w0i == 1, w[1],
+                                 jnp.where(w0i == 2, w[2], w[3])))
+        hi = jnp.where(w0i == 0, w[1],
+                       jnp.where(w0i == 1, w[2], w[3]))
+        lo_part = _shr(lo, bit)
+        hi_part = jnp.where(bit == 0, 0, _shl(hi, (32 - bit) & 31))
+        return (lo_part | hi_part) & 0xF
+
+    for i in range(16):
+        before = _shr(bef32, 2 * i) & 3
+        is_anchor = (_shr(anc16, i) & 1) != 0
+        idx2 = dynf4(82 + 3 * i - before) & jnp.where(is_anchor, 3, 7)
+        idx1 = sfield(_OFF_1[i], 4) & (7 if i == 0 else 15)
+        idx = jnp.where(ns1, idx1, idx2)
+        a3 = 64 * idx + 3
+        a4 = 64 * idx + 7
+        wgt = jnp.where(ns1, _shr(a4 * 34953, 19), _shr(a3 * 9363, 16))
+        subset1 = (_shr(sub16, i) & 1) != 0
+        for ci, c in enumerate("rgb"):
+            e0 = jnp.where(~ns1 & subset1, final[f"{c}2"], final[f"{c}0"])
+            e1 = jnp.where(~ns1 & subset1, final[f"{c}3"], final[f"{c}1"])
+            if signed:
+                v = ((64 - wgt) * e0 + wgt * e1 + 32) >> 6
+                scaled = jnp.where(v < 0, -lax.shift_right_arithmetic(
+                    -v * 31, 5), lax.shift_right_arithmetic(v * 31, 5))
+                v = jnp.where(scaled < 0, (-scaled) | 0x8000, scaled)
+            else:
+                v = ((64 - wgt) * e0 + wgt * e1 + 32) >> 6
+                v = _shr(v * 31, 6)
+            out_ref[16 * ci + i] = v
+
+    mm = jnp.broadcast_to(scal_ref[0], mode.shape)
+    bit = jnp.clip(mode_raw, 0, 31)
+    valid = (mode_raw >= 0) & ((_shr(mm, bit) & 1) != 0)
+    valid_ref[...] = valid.astype(jnp.int32)
+
+
+def _to_i32_scalar(x):
+    if isinstance(x, (int, np.integer)):
+        return ((int(x) & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("signed", "tile", "interpret"))
+def _call(words_planar, scal, signed: bool, tile: int, interpret: bool):
+    n = words_planar.shape[1]
+    n_pad = -(-n // (8 * tile)) * (8 * tile)
+    wp = jnp.pad(words_planar, ((0, 0), (0, n_pad - n)))
+    ell = n_pad // 8
+    wp = wp.reshape(4, 8, ell)
+    out, valid = pl.pallas_call(
+        functools.partial(_bc6h_kernel, signed=signed),
+        grid=(ell // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 8, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((48, 8, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((48, 8, ell), jnp.int32),
+            jax.ShapeDtypeStruct((8, ell), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scal, wp)
+    return (out.reshape(48, n_pad)[:, :n],
+            valid.reshape(n_pad)[:n] != 0)
+
+
+def decode_bptc_float_planar(words_planar, mode_mask: int = _FULL,
+                             flags: int = 0, *, signed: bool = False,
+                             tile: int = 256, interpret: bool | None = None):
+    """BC6H decode, planar: (4, N) words -> ((48, N) int32 R/G/B u16
+    plane stack, (N,) bool valid)."""
+    if interpret is None:
+        interpret = use_interpret()
+    scal = jnp.asarray([_to_i32_scalar(mode_mask), _to_i32_scalar(flags)],
+                       jnp.int32)
+    return _call(words_planar, scal, signed, tile, interpret)
+
+
+def _rows(words, mode_mask, flags, signed, **kw):
+    out, valid = decode_bptc_float_planar(words.T, mode_mask, flags,
+                                          signed=signed, **kw)
+    n = words.shape[0]
+    rgb = out.reshape(3, 16, n).transpose(2, 1, 0)      # (N, 16, 3)
+    pix = jnp.concatenate(
+        [rgb, jnp.zeros((n, 16, 1), jnp.int32)], axis=-1)
+    return pix, valid
+
+
+def decode_bptc_float(words, mode_mask: int = _FULL, flags: int = 0, **kw):
+    """Drop-in for ops.bptc_float.decode_bptc_float: (N, 4) int32 ->
+    ((N, 16, 4) int32 u16-valued FLOAT_RGBX16, (N,) bool)."""
+    return _rows(words, mode_mask, flags, False, **kw)
+
+
+def decode_bptc_signed_float(words, mode_mask: int = _FULL, flags: int = 0,
+                             **kw):
+    return _rows(words, mode_mask, flags, True, **kw)
+
+
+def _auto(signed):
+    def fn(words, mode_mask=_FULL, flags=0):
+        if jax.default_backend() == "tpu":
+            tile = 256 if words.shape[0] >= 8 * 256 else 128
+            return _rows(words, mode_mask, flags, signed, tile=tile,
+                         interpret=False)
+        jfn = (BFJ.decode_bptc_signed_float if signed
+               else BFJ.decode_bptc_float)
+        return jfn(words, mode_mask, flags)
+    return fn
+
+
+decode_bptc_float_auto = _auto(False)
+decode_bptc_signed_float_auto = _auto(True)

@@ -379,3 +379,15 @@ def decode_bptc(words, mode_mask: int = _FULL, flags: int = 0, **kw):
     pipelines — the transposes here cost extra HBM traffic."""
     pix, valid = decode_bptc_planar(words.T, mode_mask, flags, **kw)
     return pix.T, valid
+
+
+def decode_bptc_auto(words, mode_mask: int = _FULL, flags: int = 0):
+    """Best BC7 decoder for the current backend: the fused Pallas
+    kernel on TPU (the pure-XLA path is gather-bound there), the jnp
+    single-pass decoder elsewhere."""
+    if jax.default_backend() == "tpu":
+        tile = 512 if words.shape[0] >= 8 * 512 else 128
+        return decode_bptc(words, mode_mask, flags, tile=tile,
+                           interpret=False)
+    from detex_tpu.ops import bptc_fast as _bf
+    return _bf.decode_bptc_fast(words, mode_mask, flags)

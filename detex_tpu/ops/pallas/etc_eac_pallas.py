@@ -1,0 +1,613 @@
+"""ETC1 / ETC2 family + EAC R11/RG11 decoders as fused Pallas TPU kernels.
+
+Bit-exact re-implementations of the jnp decoders in ops.etc / ops.eac
+(reference: decompress-etc.c:72-717, decompress-eac.c:44-231) as
+single-pass VPU kernels.  Blocks live on (sublane, lane) = (8, L);
+words are (k, 8, L) int32 in, pixels (16, 8, L) out.
+
+The table lookups exploit table structure instead of gathers:
+
+  * ETC modifier table rows are [a, b, -a, -b]
+    (decompress-etc.c:25-34): one 8-entry select tree per column per
+    subblock, then sign/column arithmetic per pixel.  The punchthrough
+    table (decompress-etc.c:472-481) is the same with a == 0.
+  * EAC modifier table columns 4..7 equal -(columns 0..3) - 1
+    (decompress-eac.c:21-38): four 16-entry select trees per block.
+  * ETC2 distance table (decompress-etc.c:200): one 8-entry tree each
+    for the T and H distances.
+
+Public entry points mirror ops.etc / ops.eac signatures plus planar
+variants; *_auto dispatchers pick Pallas on TPU, jnp elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from detex_tpu.ops import eac as EACJ
+from detex_tpu.ops import etc as ETCJ
+from detex_tpu.ops.pallas import use_interpret
+
+_FULL = 0xFFFFFFFF
+
+# Table structure checks (see module docstring).
+_ETC_A = ETCJ.ETC_MODIFIER_TABLE[:, 0]
+_ETC_B = ETCJ.ETC_MODIFIER_TABLE[:, 1]
+assert np.array_equal(ETCJ.ETC_MODIFIER_TABLE[:, 2], -_ETC_A)
+assert np.array_equal(ETCJ.ETC_MODIFIER_TABLE[:, 3], -_ETC_B)
+assert np.array_equal(ETCJ.PUNCHTHROUGH_MODIFIER_TABLE[:, 0], 0 * _ETC_A)
+assert np.array_equal(ETCJ.PUNCHTHROUGH_MODIFIER_TABLE[:, 1], _ETC_B)
+assert np.array_equal(ETCJ.PUNCHTHROUGH_MODIFIER_TABLE[:, 2], 0 * _ETC_A)
+assert np.array_equal(ETCJ.PUNCHTHROUGH_MODIFIER_TABLE[:, 3], -_ETC_B)
+_EAC_M = EACJ.EAC_MODIFIER_TABLE
+assert np.array_equal(_EAC_M[:, 4:], -_EAC_M[:, :4] - 1)
+
+_DIST = ETCJ.ETC2_DISTANCE_TABLE
+_OUT_X = ETCJ._OUT_X
+_OUT_Y = ETCJ._OUT_Y
+_SRC_I = ETCJ._SRC_I
+
+
+def _shr(x, n):
+    return lax.shift_right_logical(x, n)
+
+
+def _shl(x, n):
+    return lax.shift_left(x, n)
+
+
+def _sel_tree(tab, bits):
+    """Select-tree gather from a small numpy table by index bit vectors
+    (len(tab) must be a power of two; len(bits) levels)."""
+    cur = [int(v) for v in tab]
+    for b in bits:
+        cur = [jnp.where(b, hi, lo) for lo, hi in zip(cur[0::2], cur[1::2])]
+    assert len(cur) == 1
+    return cur[0]
+
+
+def _bits_of(idx, n):
+    return [(idx & (1 << i)) != 0 for i in range(n)]
+
+
+def _bswap32(w):
+    return ((_shr(w, 24) & 0xFF) | (_shr(w, 8) & 0xFF00)
+            | _shl(w & 0xFF00, 8) | _shl(w, 24))
+
+
+def _byte(w, k: int):
+    return _shr(w, 8 * k) & 0xFF
+
+
+def _rep4(v):
+    return v | _shl(v, 4)
+
+
+def _rep5hi(v):
+    """5 bits already in [7:3] -> 8 bits."""
+    return v | _shr(v & 224, 5)
+
+
+def _clamp255(v):
+    return jnp.clip(v, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# ETC core (operates on (8, L) vectors inside a kernel)
+# ---------------------------------------------------------------------------
+
+def _etc2_pixels(w0, w1, *, etc1_only: bool, punchthrough: bool):
+    """Returns (mode, r, g, b, keep) on (8, L) vectors; pixels are
+    (16-list of (8, L)); keep is None or 16-list of bool (punchthrough
+    transparency).  Mirrors ops.etc._etc2_all_pixels."""
+    b0, b1, b2, b3 = (_byte(w0, k) for k in range(4))
+
+    # Candidate base colors (decompress-etc.c:102-138).
+    ind1 = tuple(v | _shr(v, 4) for v in ((b0 & 0xF0), (b1 & 0xF0),
+                                          (b2 & 0xF0)))
+    ind2 = tuple(_rep4(b & 0x0F) for b in (b0, b1, b2))
+    base1 = tuple(_rep5hi(b & 0xF8) for b in (b0, b1, b2))
+    d3 = tuple(b & 7 for b in (b0, b1, b2))
+    raw2 = tuple((b & 0xF8) + jnp.where(d >= 4, _shl(d - 8, 3), _shl(d, 3))
+                 for b, d in zip((b0, b1, b2), d3))
+    overflow = tuple((r & 0xFF07) != 0 for r in raw2)
+    base2 = tuple(_rep5hi(r) for r in raw2)
+
+    differential = (b3 & 2) != 0
+    if etc1_only:
+        mode = jnp.where(differential, 1, 0)
+    elif punchthrough:
+        mode = jnp.where(overflow[0], 2,
+                         jnp.where(overflow[1], 3,
+                                   jnp.where(overflow[2], 4, 1)))
+    else:
+        mode = jnp.where(~differential, 0,
+                         jnp.where(overflow[0], 2,
+                                   jnp.where(overflow[1], 3,
+                                             jnp.where(overflow[2], 4, 1))))
+
+    # Subblock modifier values via [a, b, -a, -b] row structure.
+    flip = b3 & 1
+    cw1_bits = _bits_of(_shr(b3 & 224, 5), 3)
+    cw2_bits = _bits_of(_shr(b3 & 28, 2), 3)
+    a1 = _sel_tree(_ETC_A, cw1_bits)
+    b1m = _sel_tree(_ETC_B, cw1_bits)
+    a2 = _sel_tree(_ETC_A, cw2_bits)
+    b2m = _sel_tree(_ETC_B, cw2_bits)
+
+    piw = _bswap32(w1)
+
+    use_t = use_h = False
+    t_paint = h_paint = None
+    if not etc1_only:
+        # T/H paint colors (decompress-etc.c:202-273).
+        t1r = _rep4(_shr(b0 & 0x18, 1) | (b0 & 0x3))
+        t1g = (b1 & 0xF0) | _shr(b1 & 0xF0, 4)
+        t1b = _rep4(b1 & 0x0F)
+        t2r = (b2 & 0xF0) | _shr(b2 & 0xF0, 4)
+        t2g = _rep4(b2 & 0x0F)
+        t2b = (b3 & 0xF0) | _shr(b3 & 0xF0, 4)
+        dist_t = _sel_tree(_DIST, _bits_of(_shr(b3 & 0x0C, 1) | (b3 & 1), 3))
+        t_paint = [
+            (t1r, t1g, t1b),
+            (_clamp255(t2r + dist_t), _clamp255(t2g + dist_t),
+             _clamp255(t2b + dist_t)),
+            (t2r, t2g, t2b),
+            (_clamp255(t2r - dist_t), _clamp255(t2g - dist_t),
+             _clamp255(t2b - dist_t)),
+        ]
+        h1r = _rep4(_shr(b0 & 0x78, 3))
+        h1g = _rep4(_shl(b0 & 0x07, 1) | _shr(b1 & 0x10, 4))
+        h1b = _rep4((b1 & 0x08) | _shl(b1 & 0x03, 1) | _shr(b2 & 0x80, 7))
+        h2r = _rep4(_shr(b2 & 0x78, 3))
+        h2g = _rep4(_shl(b2 & 0x07, 1) | _shr(b3 & 0x80, 7))
+        h2b = _rep4(_shr(b3 & 0x78, 3))
+        v1 = _shl(h1r, 16) + _shl(h1g, 8) + h1b
+        v2 = _shl(h2r, 16) + _shl(h2g, 8) + h2b
+        tie = (v1 >= v2).astype(jnp.int32)
+        dist_h = _sel_tree(_DIST,
+                           _bits_of((b3 & 0x04) | _shl(b3 & 0x01, 1) | tie,
+                                    3))
+        h_paint = [
+            (_clamp255(h1r + dist_h), _clamp255(h1g + dist_h),
+             _clamp255(h1b + dist_h)),
+            (_clamp255(h1r - dist_h), _clamp255(h1g - dist_h),
+             _clamp255(h1b - dist_h)),
+            (_clamp255(h2r + dist_h), _clamp255(h2g + dist_h),
+             _clamp255(h2b + dist_h)),
+            (_clamp255(h2r - dist_h), _clamp255(h2g - dist_h),
+             _clamp255(h2b - dist_h)),
+        ]
+        use_t = mode == 2
+        use_h = mode == 3
+
+        # Planar plane colors (decompress-etc.c:287-317).
+        b4, b5, b6, b7 = (_byte(w1, k) for k in range(4))
+        ro = _shr(b0 & 0x7E, 1)
+        go = _shl(b0 & 1, 6) | _shr(b1 & 0x7E, 1)
+        bo = (_shl(b1 & 1, 5) | (b2 & 0x18) | _shl(b2 & 0x03, 1)
+              | _shr(b3 & 0x80, 7))
+        rh = _shr(b3 & 0x7C, 1) | (b3 & 1)
+        gh = _shr(b4 & 0xFE, 1)
+        bh = _shl(b4 & 1, 5) | _shr(b5 & 0xF8, 3)
+        rv = _shl(b5 & 0x7, 3) | _shr(b6 & 0xE0, 5)
+        gv = _shl(b6 & 0x1F, 2) | _shr(b7 & 0xC0, 6)
+        bv = b7 & 0x3F
+
+        def rep_r(v):
+            return _shl(v, 2) | _shr(v & 0x30, 4)
+
+        def rep_g(v):
+            return _shl(v, 1) | _shr(v & 0x40, 6)
+
+        ro, rh, rv = rep_r(ro), rep_r(rh), rep_r(rv)
+        go, gh, gv = rep_g(go), rep_g(gh), rep_g(gv)
+        bo, bh, bv = rep_r(bo), rep_r(bh), rep_r(bv)
+        pl_dr = rh - ro
+        pl_dg = gh - go
+        pl_db = bh - bo
+        pl_vr = rv - ro
+        pl_vg = gv - go
+        pl_vb = bv - bo
+
+    use_planar = (mode == 4) if not etc1_only else False
+    use_ind = (mode == 0)
+    nonopq = (~differential) if punchthrough else None
+
+    r_out, g_out, b_out, keep_out = [], [], [], []
+    for j in range(16):
+        i = int(_SRC_I[j])
+        x, y = int(_OUT_X[j]), int(_OUT_Y[j])
+        lsb = _shr(piw, i) & 1
+        msb = _shr(piw, 16 + i) & 1
+        pidx = lsb | _shl(msb, 1)
+
+        use2 = (flip == 0) if x >= 2 else (flip != 0) if y >= 2 else None
+        if x >= 2 and y >= 2:
+            use2 = True  # both halves use subblock 2
+        # ETC1-style pixel from the individual/differential candidates.
+        av = a1 if use2 is None else (
+            a2 if use2 is True else jnp.where(use2, a2, a1))
+        bvm = b1m if use2 is None else (
+            b2m if use2 is True else jnp.where(use2, b2m, b1m))
+        mag = jnp.where((pidx & 1) != 0, bvm, av)
+        if punchthrough:
+            # non-opaque blocks use the punchthrough table: a == 0
+            mag = jnp.where(nonopq & ((pidx & 1) == 0), 0, mag)
+        modifier = jnp.where(pidx >= 2, -mag, mag)
+
+        def etc1_chan(c, sub1, sub2):
+            base = sub1[c] if use2 is None else (
+                sub2[c] if use2 is True
+                else jnp.where(use2, sub2[c], sub1[c]))
+            return _clamp255(base + modifier)
+
+        if etc1_only:
+            r = jnp.where(differential, etc1_chan(0, base1, base2),
+                          etc1_chan(0, ind1, ind2))
+            g = jnp.where(differential, etc1_chan(1, base1, base2),
+                          etc1_chan(1, ind1, ind2))
+            b = jnp.where(differential, etc1_chan(2, base1, base2),
+                          etc1_chan(2, ind1, ind2))
+            r_out.append(r)
+            g_out.append(g)
+            b_out.append(b)
+            continue
+
+        r = etc1_chan(0, base1, base2)
+        g = etc1_chan(1, base1, base2)
+        b = etc1_chan(2, base1, base2)
+        if not punchthrough:
+            r = jnp.where(use_ind, etc1_chan(0, ind1, ind2), r)
+            g = jnp.where(use_ind, etc1_chan(1, ind1, ind2), g)
+            b = jnp.where(use_ind, etc1_chan(2, ind1, ind2), b)
+
+        def paint_sel(paint, c):
+            p0, p1, p2, p3 = (p[c] for p in paint)
+            lo = jnp.where((pidx & 1) != 0, p1, p0)
+            hi = jnp.where((pidx & 1) != 0, p3, p2)
+            return jnp.where(pidx >= 2, hi, lo)
+
+        th = use_t | use_h
+        rt = jnp.where(use_h, paint_sel(h_paint, 0), paint_sel(t_paint, 0))
+        gt = jnp.where(use_h, paint_sel(h_paint, 1), paint_sel(t_paint, 1))
+        bt = jnp.where(use_h, paint_sel(h_paint, 2), paint_sel(t_paint, 2))
+        r = jnp.where(th, rt, r)
+        g = jnp.where(th, gt, g)
+        b = jnp.where(th, bt, b)
+
+        # Planar: (x*(H-O) + y*(V-O) + 4*O + 2) >> 2, arithmetic shift.
+        rp = _clamp255((x * pl_dr + y * pl_vr + 4 * ro + 2) >> 2)
+        gp = _clamp255((x * pl_dg + y * pl_vg + 4 * go + 2) >> 2)
+        bp = _clamp255((x * pl_db + y * pl_vb + 4 * bo + 2) >> 2)
+        r = jnp.where(use_planar, rp, r)
+        g = jnp.where(use_planar, gp, g)
+        b = jnp.where(use_planar, bp, b)
+
+        r_out.append(r)
+        g_out.append(g)
+        b_out.append(b)
+        if punchthrough:
+            # index 2 -> transparent black for diff/T/H non-opaque
+            keep_out.append(~(nonopq & (pidx == 2) & ~use_planar))
+
+    return mode, r_out, g_out, b_out, (keep_out if punchthrough else None)
+
+
+# ---------------------------------------------------------------------------
+# EAC core
+# ---------------------------------------------------------------------------
+
+def _eac_codes(w0, w1):
+    """16 per-pixel 3-bit codes in output order (decompress-eac.c:48)."""
+    be_hi = _bswap32(w0)
+    be_lo = _bswap32(w1)
+    codes = []
+    for j in range(16):
+        s = 45 - 3 * int(_SRC_I[j])
+        if s >= 32:
+            v = _shr(be_hi, s - 32) & 7
+        elif s + 3 <= 32:
+            v = _shr(be_lo, s) & 7
+        else:
+            v = (_shr(be_lo, s) | _shl(be_hi, 32 - s)) & 7
+        codes.append(v)
+    return codes
+
+
+def _eac_modifier_cols(w0):
+    """Four per-block modifier magnitudes m[0..3] = EAC table row
+    (tidx = byte1 low nibble) via 16-entry select trees."""
+    tbits = _bits_of(_shr(w0, 8) & 0xF, 4)
+    return [_sel_tree(_EAC_M[:, c], tbits) for c in range(4)]
+
+
+def _eac_modifier(m, code):
+    lo = jnp.where((code & 1) != 0, m[1], m[0])
+    hi = jnp.where((code & 1) != 0, m[3], m[2])
+    v = jnp.where((code & 2) != 0, hi, lo)
+    return jnp.where(code >= 4, -v - 1, v)
+
+
+def _eac_alpha_pixels(w0, w1):
+    """ETC2_EAC alpha path (decompress-eac.c:54-86): 16 x (8, L)."""
+    base = w0 & 0xFF
+    mult = _shr(w0, 12) & 0xF
+    m = _eac_modifier_cols(w0)
+    codes = _eac_codes(w0, w1)
+    return [_clamp255(base + _eac_modifier(m, c) * mult) for c in codes], mult
+
+
+def _eac11_pixels(w0, w1, *, signed: bool):
+    """11-bit channel (decompress-eac.c:111-128 unsigned, 159-202
+    signed): 16 x (8, L) plus validity."""
+    m = _eac_modifier_cols(w0)
+    codes = _eac_codes(w0, w1)
+    mult8 = _shl(_shr(w0, 12) & 0xF, 3)
+    mult8 = jnp.where(mult8 == 0, 1, mult8)
+    if not signed:
+        base = _shl(w0 & 0xFF, 3) | 0x4
+        out = []
+        for c in codes:
+            v = jnp.clip(base + _eac_modifier(m, c) * mult8, 0, 2047)
+            out.append(_shl(v, 5) | _shr(v, 6))
+        return out, None
+    base_raw = w0 & 0xFF
+    base = base_raw - jnp.where(base_raw >= 128, 256, 0)
+    valid = base != -128
+    base8 = _shl(base, 3)
+    out = []
+    for c in codes:
+        v = jnp.clip(base8 + _eac_modifier(m, c) * mult8, -1023, 1023)
+        mag = jnp.abs(v)
+        rep = _shl(mag, 5) | lax.shift_right_arithmetic(mag, 5)
+        out.append(jnp.sign(v) * rep)
+    return out, valid
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _pack(r, g, b, a):
+    return r | _shl(g, 8) | _shl(b, 16) | _shl(a, 24)
+
+
+def _etc1_kernel(scal_ref, words_ref, pix_ref, valid_ref):
+    w0, w1 = words_ref[0], words_ref[1]
+    mode, r, g, b, _ = _etc2_pixels(w0, w1, etc1_only=True,
+                                    punchthrough=False)
+    for j in range(16):
+        pix_ref[j] = _pack(r[j], g[j], b[j], 0xFF)
+    b0, b1, b2 = (_byte(w0, k) for k in range(3))
+    d3 = tuple(bb & 7 for bb in (b0, b1, b2))
+    raw2 = tuple((bb & 0xF8) + jnp.where(d >= 4, _shl(d - 8, 3), _shl(d, 3))
+                 for bb, d in zip((b0, b1, b2), d3))
+    diff_ok = ((raw2[0] & 0xFF07) == 0) & ((raw2[1] & 0xFF07) == 0) \
+        & ((raw2[2] & 0xFF07) == 0)
+    differential = mode == 1
+    valid = diff_ok | ~differential
+    mm = jnp.broadcast_to(scal_ref[0], mode.shape)
+    valid = valid & ~(((mm & 0x2) == 0) & differential)
+    valid = valid & ~(((mm & 0x1) == 0) & ~differential)
+    valid_ref[...] = valid.astype(jnp.int32)
+
+
+def _etc2_kernel(scal_ref, words_ref, pix_ref, valid_ref):
+    w0, w1 = words_ref[0], words_ref[1]
+    mode, r, g, b, _ = _etc2_pixels(w0, w1, etc1_only=False,
+                                    punchthrough=False)
+    for j in range(16):
+        pix_ref[j] = _pack(r[j], g[j], b[j], 0xFF)
+    mm = jnp.broadcast_to(scal_ref[0], mode.shape)
+    valid_ref[...] = ((_shr(mm, mode) & 1) != 0).astype(jnp.int32)
+
+
+def _etc2_pt_kernel(scal_ref, words_ref, pix_ref, valid_ref):
+    w0, w1 = words_ref[0], words_ref[1]
+    opaque = (_byte(w0, 3) & 2) != 0
+    mode, r, g, b, keep = _etc2_pixels(w0, w1, etc1_only=False,
+                                       punchthrough=True)
+    for j in range(16):
+        p = _pack(r[j], g[j], b[j], 0xFF)
+        pix_ref[j] = jnp.where(opaque | keep[j], p, 0)
+    mm = jnp.broadcast_to(scal_ref[0], mode.shape)
+    fl = scal_ref[1]
+    valid = (_shr(mm, mode) & 1) != 0
+    valid = valid & ~(((fl & 0x4) != 0) & (opaque | (mode == 4)))
+    valid = valid & ~(((fl & 0x2) != 0) & ~opaque)
+    valid_ref[...] = valid.astype(jnp.int32)
+
+
+def _etc2_eac_kernel(scal_ref, words_ref, pix_ref, valid_ref):
+    aw0, aw1, cw0, cw1 = (words_ref[i] for i in range(4))
+    mode, r, g, b, _ = _etc2_pixels(cw0, cw1, etc1_only=False,
+                                    punchthrough=False)
+    alpha, mult = _eac_alpha_pixels(aw0, aw1)
+    for j in range(16):
+        pix_ref[j] = _pack(r[j], g[j], b[j], alpha[j])
+    mm = jnp.broadcast_to(scal_ref[0], mode.shape)
+    fl = scal_ref[1]
+    valid = (_shr(mm, mode) & 1) != 0
+    valid = valid & ~(((fl & 0x1) != 0) & (mult == 0))   # FLAG_ENCODE
+    valid_ref[...] = valid.astype(jnp.int32)
+
+
+def _eac_r11_kernel(scal_ref, words_ref, pix_ref, valid_ref, *, signed):
+    w0, w1 = words_ref[0], words_ref[1]
+    vals, valid = _eac11_pixels(w0, w1, signed=signed)
+    for j in range(16):
+        pix_ref[j] = vals[j]
+    if valid is None:
+        valid = jnp.ones(w0.shape, bool)
+    valid_ref[...] = valid.astype(jnp.int32)
+
+
+def _eac_rg11_kernel(scal_ref, words_ref, pix_ref, valid_ref, *, signed):
+    rw0, rw1, gw0, gw1 = (words_ref[i] for i in range(4))
+    rv, valid_r = _eac11_pixels(rw0, rw1, signed=signed)
+    gv, valid_g = _eac11_pixels(gw0, gw1, signed=signed)
+    for j in range(16):
+        # R in low 16 bits, G in high 16 (both u16/i16 bit patterns)
+        pix_ref[j] = (rv[j] & 0xFFFF) | _shl(gv[j], 16)
+    if valid_r is None:
+        valid = jnp.ones(rw0.shape, bool)
+    else:
+        valid = valid_r & valid_g
+    valid_ref[...] = valid.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing (shared)
+# ---------------------------------------------------------------------------
+
+def _to_i32_scalar(x):
+    if isinstance(x, (int, np.integer)):
+        return ((int(x) & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+    return x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kernel_name", "n_words", "tile",
+                                    "interpret"))
+def _call(words_planar, scal, kernel_name: str, n_words: int, tile: int,
+          interpret: bool):
+    kernel = _KERNELS[kernel_name]
+    n = words_planar.shape[1]
+    n_pad = -(-n // (8 * tile)) * (8 * tile)
+    wp = jnp.pad(words_planar, ((0, 0), (0, n_pad - n)))
+    ell = n_pad // 8
+    wp = wp.reshape(n_words, 8, ell)
+    pix, valid = pl.pallas_call(
+        kernel,
+        grid=(ell // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_words, 8, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, 8, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, 8, ell), jnp.int32),
+            jax.ShapeDtypeStruct((8, ell), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scal, wp)
+    return (pix.reshape(16, n_pad)[:, :n],
+            valid.reshape(n_pad)[:n] != 0)
+
+
+_KERNELS = {
+    "etc1": _etc1_kernel,
+    "etc2": _etc2_kernel,
+    "etc2_pt": _etc2_pt_kernel,
+    "etc2_eac": _etc2_eac_kernel,
+    "eac_r11": functools.partial(_eac_r11_kernel, signed=False),
+    "eac_signed_r11": functools.partial(_eac_r11_kernel, signed=True),
+    "eac_rg11": functools.partial(_eac_rg11_kernel, signed=False),
+    "eac_signed_rg11": functools.partial(_eac_rg11_kernel, signed=True),
+}
+
+_N_WORDS = {"etc1": 2, "etc2": 2, "etc2_pt": 2, "etc2_eac": 4,
+            "eac_r11": 2, "eac_signed_r11": 2, "eac_rg11": 4,
+            "eac_signed_rg11": 4}
+
+
+def _decode_planar(kernel_name, words_planar, mode_mask, flags, tile,
+                   interpret):
+    if interpret is None:
+        interpret = use_interpret()
+    scal = jnp.asarray([_to_i32_scalar(mode_mask), _to_i32_scalar(flags)],
+                       jnp.int32)
+    return _call(words_planar, scal, kernel_name, _N_WORDS[kernel_name],
+                 tile, interpret)
+
+
+def _make_decoder(kernel_name):
+    def planar(words_planar, mode_mask=_FULL, flags=0, *, tile=512,
+               interpret=None):
+        return _decode_planar(kernel_name, words_planar, mode_mask, flags,
+                              tile, interpret)
+
+    def rows(words, mode_mask=_FULL, flags=0, **kw):
+        pix, valid = planar(words.T, mode_mask, flags, **kw)
+        return pix.T, valid
+
+    return planar, rows
+
+
+decode_etc1_planar, decode_etc1 = _make_decoder("etc1")
+decode_etc2_planar, decode_etc2 = _make_decoder("etc2")
+decode_etc2_punchthrough_planar, decode_etc2_punchthrough = \
+    _make_decoder("etc2_pt")
+decode_etc2_eac_planar, decode_etc2_eac = _make_decoder("etc2_eac")
+decode_eac_r11_planar, _decode_eac_r11_rows = _make_decoder("eac_r11")
+decode_eac_signed_r11_planar, _decode_eac_signed_r11_rows = \
+    _make_decoder("eac_signed_r11")
+decode_eac_rg11_planar, _decode_eac_rg11_rows = _make_decoder("eac_rg11")
+decode_eac_signed_rg11_planar, _decode_eac_signed_rg11_rows = \
+    _make_decoder("eac_signed_rg11")
+
+
+def decode_eac_r11(words, mode_mask=_FULL, flags=0, **kw):
+    return _decode_eac_r11_rows(words, mode_mask, flags, **kw)
+
+
+def decode_eac_signed_r11(words, mode_mask=_FULL, flags=0, **kw):
+    pix, valid = _decode_eac_signed_r11_rows(words, mode_mask, flags, **kw)
+    # sign-extend the 16-bit value (kernel packs raw bit pattern)
+    return (pix << 16) >> 16, valid
+
+
+def _split_rg(pix_rows, signed):
+    r = pix_rows & 0xFFFF
+    g = lax.shift_right_logical(pix_rows, 16)
+    if signed:
+        r = (r << 16) >> 16
+        g = (g << 16) >> 16
+    return jnp.stack([r, g], axis=-1)
+
+
+def decode_eac_rg11(words, mode_mask=_FULL, flags=0, **kw):
+    pix, valid = _decode_eac_rg11_rows(words, mode_mask, flags, **kw)
+    return _split_rg(pix, False), valid
+
+
+def decode_eac_signed_rg11(words, mode_mask=_FULL, flags=0, **kw):
+    pix, valid = _decode_eac_signed_rg11_rows(words, mode_mask, flags, **kw)
+    return _split_rg(pix, True), valid
+
+
+def _auto(pallas_fn, jnp_fn):
+    def fn(words, mode_mask=_FULL, flags=0):
+        if jax.default_backend() == "tpu":
+            tile = 512 if words.shape[0] >= 8 * 512 else 128
+            return pallas_fn(words, mode_mask, flags, tile=tile,
+                             interpret=False)
+        return jnp_fn(words, mode_mask, flags)
+    return fn
+
+
+decode_etc1_auto = _auto(decode_etc1, ETCJ.decode_etc1)
+decode_etc2_auto = _auto(decode_etc2, ETCJ.decode_etc2)
+decode_etc2_punchthrough_auto = _auto(decode_etc2_punchthrough,
+                                      ETCJ.decode_etc2_punchthrough)
+decode_etc2_eac_auto = _auto(decode_etc2_eac, ETCJ.decode_etc2_eac)
+decode_eac_r11_auto = _auto(decode_eac_r11, EACJ.decode_eac_r11)
+decode_eac_signed_r11_auto = _auto(decode_eac_signed_r11,
+                                   EACJ.decode_eac_signed_r11)
+decode_eac_rg11_auto = _auto(decode_eac_rg11, EACJ.decode_eac_rg11)
+decode_eac_signed_rg11_auto = _auto(decode_eac_signed_rg11,
+                                    EACJ.decode_eac_signed_rg11)

@@ -2,12 +2,18 @@
 interpreter on CPU and require bit-exactness against the same golden
 vectors (and jnp reference decoders) as the XLA paths."""
 
+import functools
+
 import numpy as np
 import pytest
 
 from detex_tpu.ops import bptc_fast
+from detex_tpu.ops import bptc_float as bfj
+from detex_tpu.ops import eac as eacj
+from detex_tpu.ops import etc as etcj
 from detex_tpu.ops.bitops import words_from_bytes
-from detex_tpu.ops.pallas import bptc_pallas
+from detex_tpu.ops.pallas import (bptc_float_pallas, bptc_pallas,
+                                  etc_eac_pallas)
 
 _TILE = 128  # small tile: exercises the grid loop in interpret mode
 
@@ -44,6 +50,116 @@ def test_bptc_pallas_random_vs_fast():
     w = words_from_bytes(blocks)
     p0, v0 = bptc_fast.decode_bptc_fast(w)
     p1, v1 = bptc_pallas.decode_bptc(w, interpret=True, tile=_TILE)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+# golden family -> (pallas decoder, jnp decoder, block bytes, packer)
+_ETC_EAC = {
+    "ETC1": (etc_eac_pallas.decode_etc1, etcj.decode_etc1, 8, "u32"),
+    "ETC2": (etc_eac_pallas.decode_etc2, etcj.decode_etc2, 8, "u32"),
+    "ETC2_PUNCHTHROUGH": (etc_eac_pallas.decode_etc2_punchthrough,
+                          etcj.decode_etc2_punchthrough, 8, "u32"),
+    "ETC2_EAC": (etc_eac_pallas.decode_etc2_eac, etcj.decode_etc2_eac,
+                 16, "u32"),
+    "EAC_R11": (etc_eac_pallas.decode_eac_r11, eacj.decode_eac_r11,
+                8, "u16"),
+    "EAC_RG11": (etc_eac_pallas.decode_eac_rg11, eacj.decode_eac_rg11,
+                 16, "u16"),
+    "EAC_SIGNED_R11": (etc_eac_pallas.decode_eac_signed_r11,
+                       eacj.decode_eac_signed_r11, 8, "i16"),
+    "EAC_SIGNED_RG11": (etc_eac_pallas.decode_eac_signed_rg11,
+                        eacj.decode_eac_signed_rg11, 16, "i16"),
+}
+
+
+def _pack_kind(pix, kind):
+    a = np.ascontiguousarray(np.asarray(pix))
+    n = a.shape[0]
+    if kind == "u32":
+        return a.view(np.uint32).view(np.uint8).reshape(n, -1)
+    if kind == "i16":
+        return np.ascontiguousarray(
+            a.astype(np.int16).reshape(n, -1)).view(np.uint8)
+    return np.ascontiguousarray(
+        a.astype(np.uint16).reshape(n, -1)).view(np.uint8)
+
+
+@pytest.mark.parametrize("family", list(_ETC_EAC))
+def test_etc_eac_pallas_goldens(family, golden):
+    p_fn, _, _, kind = _ETC_EAC[family]
+    g = golden(family)
+    for prefix in ("corpus", "random"):
+        if f"{prefix}_blocks" not in g:
+            continue
+        w = words_from_bytes(g[f"{prefix}_blocks"])
+        pix, valid = p_fn(w, interpret=True, tile=_TILE)
+        out = _pack_kind(pix, kind)
+        valid = np.asarray(valid)
+        out = np.where(valid[:, None], out, 0).astype(np.uint8)
+        np.testing.assert_array_equal(valid, g[f"{prefix}_valid"],
+                                      err_msg=f"{family} {prefix}")
+        np.testing.assert_array_equal(out, g[f"{prefix}_out"],
+                                      err_msg=f"{family} {prefix}")
+    vi = 0
+    while f"variant{vi}_out" in g:
+        w = words_from_bytes(g["random_blocks"])
+        pix, valid = p_fn(w, int(g[f"variant{vi}_mask"]),
+                          int(g[f"variant{vi}_flags"]),
+                          interpret=True, tile=_TILE)
+        out = _pack_kind(pix, kind)
+        valid = np.asarray(valid)
+        out = np.where(valid[:, None], out, 0).astype(np.uint8)
+        np.testing.assert_array_equal(valid, g[f"variant{vi}_valid"],
+                                      err_msg=f"{family} v{vi}")
+        np.testing.assert_array_equal(out, g[f"variant{vi}_out"],
+                                      err_msg=f"{family} v{vi}")
+        vi += 1
+
+
+@pytest.mark.parametrize("family", list(_ETC_EAC))
+def test_etc_eac_pallas_random_vs_jnp(family):
+    p_fn, j_fn, bs, _ = _ETC_EAC[family]
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, (1500, bs), np.uint8)
+    w = words_from_bytes(blocks)
+    p0, v0 = j_fn(w)
+    p1, v1 = p_fn(w, interpret=True, tile=_TILE)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+@pytest.mark.parametrize("family,signed", [("BPTC_FLOAT", False),
+                                           ("BPTC_SIGNED_FLOAT", True)])
+def test_bc6h_pallas_goldens(family, signed, golden):
+    p_fn = (bptc_float_pallas.decode_bptc_signed_float if signed
+            else bptc_float_pallas.decode_bptc_float)
+    g = golden(family)
+    for prefix in ("corpus", "random"):
+        if f"{prefix}_blocks" not in g:
+            continue
+        w = words_from_bytes(g[f"{prefix}_blocks"])
+        pix, valid = p_fn(w, interpret=True, tile=_TILE)
+        out = _pack_kind(pix, "u16")
+        valid = np.asarray(valid)
+        out = np.where(valid[:, None], out, 0).astype(np.uint8)
+        np.testing.assert_array_equal(valid, g[f"{prefix}_valid"],
+                                      err_msg=f"{family} {prefix}")
+        np.testing.assert_array_equal(out, g[f"{prefix}_out"],
+                                      err_msg=f"{family} {prefix}")
+
+
+@pytest.mark.parametrize("signed", [False, True])
+def test_bc6h_pallas_random_vs_jnp(signed):
+    j_fn = (bfj.decode_bptc_signed_float if signed
+            else bfj.decode_bptc_float)
+    p_fn = (bptc_float_pallas.decode_bptc_signed_float if signed
+            else bptc_float_pallas.decode_bptc_float)
+    rng = np.random.default_rng(13)
+    blocks = rng.integers(0, 256, (1000, 16), np.uint8)
+    w = words_from_bytes(blocks)
+    p0, v0 = j_fn(w, 0x2AAA, 0)
+    p1, v1 = p_fn(w, 0x2AAA, 0, interpret=True, tile=_TILE)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
 
