@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--input-format")
     p.add_argument("-d", "--decompress", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--backend", choices=("jax", "native"), default="jax",
+                   help="decode backend: jax (device; Pallas on TPU) or "
+                        "native (multithreaded C++ host runtime)")
     p.add_argument("input_file")
     p.add_argument("output_file")
     args = p.parse_args(argv)
@@ -107,7 +110,8 @@ def main(argv=None) -> int:
                 f"(dtx-convert does not support compression)")
         out_textures = []
         for t in textures:
-            pixels = engine.decompress_texture_linear(t, output_format)
+            pixels = engine.decompress_texture_linear(
+                t, output_format, backend=args.backend)
             out_textures.append(Texture.new(output_format, pixels,
                                             t.width, t.height))
 

@@ -60,6 +60,21 @@ _DECODERS = {
 }
 
 
+# compressed-format index -> native-library family name (detex_tpu.native)
+_NATIVE_FAMILY = {
+    F.IDX_BC1: "BC1", F.IDX_BC1A: "BC1A", F.IDX_BC2: "BC2",
+    F.IDX_BC3: "BC3", F.IDX_RGTC1: "RGTC1",
+    F.IDX_SIGNED_RGTC1: "SIGNED_RGTC1", F.IDX_RGTC2: "RGTC2",
+    F.IDX_SIGNED_RGTC2: "SIGNED_RGTC2", F.IDX_BPTC_FLOAT: "BPTC_FLOAT",
+    F.IDX_BPTC_SIGNED_FLOAT: "BPTC_SIGNED_FLOAT", F.IDX_BPTC: "BPTC",
+    F.IDX_ETC1: "ETC1", F.IDX_ETC2: "ETC2",
+    F.IDX_ETC2_PUNCHTHROUGH: "ETC2_PUNCHTHROUGH",
+    F.IDX_ETC2_EAC: "ETC2_EAC", F.IDX_EAC_R11: "EAC_R11",
+    F.IDX_EAC_SIGNED_R11: "EAC_SIGNED_R11", F.IDX_EAC_RG11: "EAC_RG11",
+    F.IDX_EAC_SIGNED_RG11: "EAC_SIGNED_RG11",
+}
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_decoder(idx: int):
     fn, _ = _DECODERS[idx]
@@ -96,11 +111,19 @@ def _native_bytes(idx: int, pix) -> np.ndarray:
 
 
 def decode_blocks(tex_fmt: int, blocks_u8: np.ndarray,
-                  mode_mask=0xFFFFFFFF, flags=0):
+                  mode_mask=0xFFFFFFFF, flags=0, backend: str = "jax"):
     """Decode (N, block_bytes) u8 blocks to native per-block pixel bytes
     ((N, 16*ps) u8) plus validity; invalid blocks are NOT zeroed here —
-    callers zero in the *target* format (texture.c:90-93)."""
+    callers zero in the *target* format (texture.c:90-93).
+
+    backend: "jax" (device decode, Pallas on TPU) or "native" (the
+    multithreaded C++ host runtime)."""
     idx = F.compressed_index(tex_fmt)
+    if backend == "native":
+        from detex_tpu import native
+        out, valid = native.decode(_NATIVE_FAMILY[idx], blocks_u8,
+                                   int(mode_mask), int(flags))
+        return out, valid
     words = words_from_bytes(blocks_u8)
     pix, valid = decode_blocks_device(tex_fmt, words, mode_mask, flags)
     return _native_bytes(idx, pix), np.asarray(valid)
@@ -116,7 +139,8 @@ def _assemble_linear(block_pixels: np.ndarray, wb: int, hb: int,
 
 
 def decompress_texture_linear(tex: Texture, pixel_format: int = None,
-                              mode_mask=0xFFFFFFFF, flags=0) -> np.ndarray:
+                              mode_mask=0xFFFFFFFF, flags=0,
+                              backend: str = "jax") -> np.ndarray:
     """Decode a whole texture row-major (reference
     detexDecompressTextureLinear, texture.c:105-145).  Returns flat u8
     bytes of width*height pixels in `pixel_format` (default: the
@@ -128,7 +152,8 @@ def decompress_texture_linear(tex: Texture, pixel_format: int = None,
                                 F.texture_pixel_format(tex.format),
                                 pixel_format)
     blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
-    native, valid = decode_blocks(tex.format, blocks, mode_mask, flags)
+    native, valid = decode_blocks(tex.format, blocks, mode_mask, flags,
+                                  backend)
     src_fmt = F.texture_pixel_format(tex.format)
     ps_out = F.pixel_size(pixel_format)
     n_px = native.shape[0] * 16
@@ -143,7 +168,8 @@ def decompress_texture_linear(tex: Texture, pixel_format: int = None,
 
 
 def decompress_texture_tiled(tex: Texture, pixel_format: int = None,
-                             mode_mask=0xFFFFFFFF, flags=0) -> np.ndarray:
+                             mode_mask=0xFFFFFFFF, flags=0,
+                             backend: str = "jax") -> np.ndarray:
     """Decode into per-block tiles (reference detexDecompressTextureTiled,
     texture.c:77-98): output is blocks of 16 converted pixels, one after
     another."""
@@ -152,7 +178,8 @@ def decompress_texture_tiled(tex: Texture, pixel_format: int = None,
     if not F.is_compressed(tex.format):
         raise ValueError("Cannot handle uncompressed texture format")
     blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
-    native, valid = decode_blocks(tex.format, blocks, mode_mask, flags)
+    native, valid = decode_blocks(tex.format, blocks, mode_mask, flags,
+                                  backend)
     src_fmt = F.texture_pixel_format(tex.format)
     ps_out = F.pixel_size(pixel_format)
     n_px = native.shape[0] * 16

@@ -62,9 +62,11 @@ def _clamp01_f32(x: np.ndarray) -> np.ndarray:
 def quantize_u16_downward(c01_f32: np.ndarray) -> np.ndarray:
     """FE_DOWNWARD lrintf(x*65535.0f + 0.5f) on already-clamped f32
     (half-float.c:306-311): both f32 ops round down, lrintf floors."""
-    w = _down32(c01_f32.astype(np.float64) * 65535.0)
-    w2 = _down32(w.astype(np.float64) + 0.5)
     with np.errstate(invalid="ignore"):
+        # NaN inputs flow through the arithmetic and cast like the C
+        # code's lrintf(NaN) path; suppress numpy's cast warning.
+        w = _down32(c01_f32.astype(np.float64) * 65535.0)
+        w2 = _down32(w.astype(np.float64) + 0.5)
         return np.floor(w2.astype(np.float64)).astype(np.int64) \
             .astype(np.uint16)
 

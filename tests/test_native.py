@@ -45,6 +45,27 @@ def test_native_multithreaded_matches_single(golden):
     np.testing.assert_array_equal(v1, v8)
 
 
+def test_native_backend_matches_jax_on_corpus():
+    """engine.decompress_texture_linear(backend='native') must produce
+    the same bytes as the JAX backend over real corpus textures."""
+    from pathlib import Path
+
+    from detex_tpu import engine
+    from detex_tpu import io as tio
+    ref = Path("/root/reference")
+    files = ["test-texture-BC1.ktx", "test-texture-BPTC.ktx",
+             "test-texture-ETC2_EAC.ktx", "test-texture-EAC_RG11.ktx",
+             "test-texture-BPTC_FLOAT.ktx"]
+    for name in files:
+        path = ref / name
+        if not path.exists():
+            continue
+        tex = tio.load_texture_file(str(path))[0]
+        a = engine.decompress_texture_linear(tex, backend="jax")
+        b = engine.decompress_texture_linear(tex, backend="native")
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_native_assemble_linear_matches_engine():
     from detex_tpu.engine import _assemble_linear
     rng = np.random.default_rng(0)
