@@ -255,6 +255,14 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
                     v = jnp.where(no_alpha, 0xFF, v)
                 ep[c][j][k] = v & 0xFF
 
+    # SWAR pairs for the interpolation: (r | b<<16) and (g | a<<16).
+    # Each 16-bit lane holds (64-w)*e0 + w*e1 + 32 <= 32672 < 2^16, so
+    # lanes cannot carry into each other.
+    ep_rb = [[ep[0][j][k] | _shl(ep[2][j][k], 16) for k in range(2)]
+             for j in range(3)]
+    ep_ga = [[ep[1][j][k] | _shl(ep[3][j][k], 16) for k in range(2)]
+             for j in range(3)]
+
     # --- per-block index-stream parameters ------------------------------
     has_sec = ib2 > 0
     isb_on = isb != 0
@@ -293,15 +301,28 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
         w_c = weight(color_idx, color_bits, wc_c)
         w_a = weight(alpha_idx, alpha_bits, wa_c)
 
-        chans = []
-        for c in range(4):
-            wgt = w_a if c == 3 else w_c
-            e0 = jnp.where(subset == 1, ep[c][1][0],
-                           jnp.where(subset == 2, ep[c][2][0], ep[c][0][0]))
-            e1 = jnp.where(subset == 1, ep[c][1][1],
-                           jnp.where(subset == 2, ep[c][2][1], ep[c][0][1]))
-            chans.append(((64 - wgt) * e0 + wgt * e1 + 32) >> 6)
-        r, g, b, a = chans
+        def sel_subset(pairs, k):
+            return jnp.where(subset == 1, pairs[1][k],
+                             jnp.where(subset == 2, pairs[2][k],
+                                       pairs[0][k]))
+
+        # rb pair: both lanes weighted by w_c
+        v_rb = ((64 - w_c) * sel_subset(ep_rb, 0)
+                + w_c * sel_subset(ep_rb, 1) + 0x200020)
+        r = _shr(v_rb, 6) & 0xFF
+        b = _shr(v_rb, 22) & 0xFF
+        # ga pair: g lane weighted by w_c, a lane by w_a -> split weights
+        ga0 = sel_subset(ep_ga, 0)
+        ga1 = sel_subset(ep_ga, 1)
+        g0 = ga0 & 0xFFFF
+        a0 = _shr(ga0, 16)
+        w_ga = (64 - w_c) + _shl(64 - w_a, 16)
+        # (64-w_c)*g0 and (64-w_a)*a0 in one go is not expressible as a
+        # single multiply; keep g/a separate (2 muls each) but reuse the
+        # subset selects done once on the packed pair.
+        g = ((64 - w_c) * g0 + w_c * (ga1 & 0xFFFF) + 32) >> 6
+        a = ((64 - w_a) * a0 + w_a * _shr(ga1, 16) + 32) >> 6
+        del w_ga
         new_r = jnp.where(rot == 1, a, r)
         new_g = jnp.where(rot == 2, a, g)
         new_b = jnp.where(rot == 3, a, b)
