@@ -475,3 +475,16 @@ def convert_pixels(src: np.ndarray, n_pixels: int, src_fmt: int,
         buf = np.ascontiguousarray(TABLE[step][2](buf, n_pixels),
                                    dtype=np.uint8)
     return buf
+
+
+def convert_pixels_in_place(buf: np.ndarray, n_pixels: int, src_fmt: int,
+                            dst_fmt: int) -> None:
+    """In-place variant (reference detexConvertPixelsInPlace,
+    convert.c:1168-1171): only conversions that preserve pixel size are
+    allowed; `buf` (flat uint8) is overwritten with the result."""
+    if F.pixel_size(src_fmt) != F.pixel_size(dst_fmt):
+        raise ConversionError(
+            f"In-place conversion requires equal pixel sizes: "
+            f"{F.format_name(src_fmt)} -> {F.format_name(dst_fmt)}")
+    out = convert_pixels(buf, n_pixels, src_fmt, dst_fmt)
+    np.copyto(buf.view(np.uint8).reshape(-1), out)

@@ -92,3 +92,20 @@ def test_decompress_uncompressed_passthrough():
     px = out.reshape(64, 4)
     np.testing.assert_array_equal(px[:, :3], data.reshape(64, 3))
     assert (px[:, 3] == 0xFF).all()
+
+
+def test_convert_pixels_in_place():
+    import numpy as np
+
+    from detex_tpu import convert as C
+    from detex_tpu import formats as F
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 256, 64 * 4, dtype=np.uint8)
+    expected = C.convert_pixels(buf, 64, F.RGBA8, F.BGRA8)
+    work = buf.copy()
+    C.convert_pixels_in_place(work, 64, F.RGBA8, F.BGRA8)
+    np.testing.assert_array_equal(work, expected)
+    # size-changing conversions are rejected
+    import pytest
+    with pytest.raises(C.ConversionError):
+        C.convert_pixels_in_place(work, 64, F.RGBA8, F.RGB8)
