@@ -1,0 +1,130 @@
+"""Dynamics-model training loop: mesh-sharded, checkpointed, metered.
+
+Production driver around mpc.dynamics.train_step (no reference
+counterpart — SURVEY.md §2.2/§5): data-parallel batches over the mesh
+"dp" axis, tensor-parallel params over "tp", periodic orbax
+checkpoints with deterministic resume, and JSON-line metrics.
+
+A synthetic visual environment is included so the loop (and tests) can
+run self-contained: a hidden linear latent system rendered to uint8
+images through a fixed random projection — the dynamics model must
+compress the rendering and learn the transition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from detex_tpu.mpc import dynamics as D
+from detex_tpu.parallel import mesh as mesh_mod
+from detex_tpu.utils import checkpoint as ckpt
+from detex_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    dynamics: D.DynamicsConfig = D.DynamicsConfig(
+        image_size=32, conv_features=(16, 32, 64), latent_dim=64,
+        action_dim=4, hidden_dim=256)
+    batch_size: int = 64
+    n_steps: int = 100
+    lr: float = 3e-4
+    seed: int = 0
+    checkpoint_every: int = 50
+    checkpoint_dir: Optional[str] = None
+    mesh_shape: Optional[tuple] = None      # (dp, tp); default all-dp
+
+
+class SyntheticVisualEnv:
+    """Hidden linear system z' = A z + B u rendered to uint8 images."""
+
+    def __init__(self, cfg: D.DynamicsConfig, seed: int = 0,
+                 state_dim: int = 8):
+        rng = np.random.default_rng(seed)
+        self.cfg = cfg
+        self.state_dim = state_dim
+        a = rng.standard_normal((state_dim, state_dim))
+        # stable transition
+        self.A = (0.95 * a / max(1e-6, np.abs(np.linalg.eigvals(a)).max())
+                  ).astype(np.float32)
+        self.B = (0.3 * rng.standard_normal(
+            (state_dim, cfg.action_dim))).astype(np.float32)
+        n_pix = cfg.image_size * cfg.image_size * cfg.channels
+        self.render_w = rng.standard_normal(
+            (state_dim, n_pix)).astype(np.float32)
+
+    def render(self, z: np.ndarray) -> np.ndarray:
+        flat = np.tanh(z @ self.render_w)
+        img = ((flat * 0.5 + 0.5) * 255.0).astype(np.uint8)
+        s = self.cfg.image_size
+        return img.reshape(z.shape[0], s, s, self.cfg.channels)
+
+    def sample_batch(self, rng: np.random.Generator,
+                     batch_size: int) -> Dict[str, np.ndarray]:
+        z = rng.standard_normal((batch_size, self.state_dim)) \
+            .astype(np.float32)
+        u = rng.uniform(-1, 1, (batch_size, self.cfg.action_dim)) \
+            .astype(np.float32)
+        z_next = z @ self.A.T + u @ self.B.T
+        return {"obs": self.render(z), "action": u,
+                "next_obs": self.render(z_next)}
+
+
+def train(cfg: TrainConfig, metrics: Optional[MetricsLogger] = None,
+          env: Optional[SyntheticVisualEnv] = None):
+    """Run the training loop; returns (params, opt_state, last_loss).
+
+    Resumes from cfg.checkpoint_dir/latest if present (deterministic:
+    the data stream is re-seeded from the restored step counter)."""
+    dcfg = cfg.dynamics
+    mesh = mesh_mod.make_mesh(cfg.mesh_shape)
+    env = env or SyntheticVisualEnv(dcfg, cfg.seed)
+    metrics = metrics or MetricsLogger()
+
+    key = jax.random.PRNGKey(cfg.seed)
+    params = D.init_params(key, dcfg)
+    params = jax.device_put(params, D.param_shardings(mesh, dcfg))
+    optimizer = D.make_optimizer(cfg.lr)
+    opt_state = optimizer.init(params)
+    start_step = 0
+
+    ckpt_path = (Path(cfg.checkpoint_dir) / "latest"
+                 if cfg.checkpoint_dir else None)
+    if ckpt_path is not None and (
+            ckpt_path.exists() or ckpt_path.with_suffix(".npz").exists()):
+        template = ckpt.controller_state(
+            params, opt_state, jnp.zeros((1,)), key, 0)
+        state = ckpt.restore(str(ckpt_path), template)
+        params, opt_state = state["params"], state["opt_state"]
+        start_step = int(state["step"])
+
+    step_fn = jax.jit(functools.partial(D.train_step, cfg=dcfg,
+                                        optimizer=optimizer),
+                      donate_argnums=(0, 1))
+    batch_sharding = NamedSharding(mesh, P("dp"))
+
+    loss = jnp.float32(0)
+    with mesh:
+        for step in range(start_step, cfg.n_steps):
+            rng = np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, step]))
+            batch = env.sample_batch(rng, cfg.batch_size)
+            batch = {k: jax.device_put(v, batch_sharding)
+                     for k, v in batch.items()}
+            params, opt_state, loss = step_fn(params, opt_state, batch)
+            if step % 10 == 0 or step == cfg.n_steps - 1:
+                metrics.log(step, loss=float(loss))
+            if (ckpt_path is not None and cfg.checkpoint_every
+                    and (step + 1) % cfg.checkpoint_every == 0):
+                ckpt_path.parent.mkdir(parents=True, exist_ok=True)
+                ckpt.save(str(ckpt_path), ckpt.controller_state(
+                    params, opt_state, jnp.zeros((1,)), key, step + 1))
+    return params, opt_state, float(loss)
