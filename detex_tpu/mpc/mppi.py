@@ -1,20 +1,35 @@
 """MPPI (Model Predictive Path Integral) sampling MPC — batched, sharded.
 
 New TPU-native component (no reference counterpart).  K rollouts of
-horizon H are evaluated in parallel: the rollout batch shards over the
-mesh "dp" axis; the importance-weight normalization is a psum over that
-axis, so multi-chip MPPI is the single-chip program + two collectives.
+horizon H are evaluated in parallel:
 
-    u*_t = sum_k w_k eps_k,t / sum_k w_k,   w_k = exp(-(S_k - min S)/T)
+    u*_t = sum_k w_k c_k,t / sum_k w_k,   w_k = exp(-(S_k - min S)/T)
+
+Multi-chip story (both paths produce the same update, to fp reduction
+order):
+
+  * ``mppi_step(..., rollout_axis="dp", mesh=mesh)`` — explicit
+    ``jax.shard_map`` over the rollout axis: every device rolls out its
+    K/n_dp shard, the softmax-weight normalization is a ``psum`` over
+    'dp' and the baseline subtraction a ``pmin``, so the multi-chip
+    program is the single-chip program + three collectives riding ICI.
+  * ``mppi_step(..., rollout_axis="dp")`` (no mesh) — GSPMD path:
+    ``with_sharding_constraint`` pins the noise/controls/costs to
+    P('dp') and XLA lowers the reductions to all-reduces itself.
+    Composes freely with tensor-parallel dynamics params.
+
+The noise is always drawn *globally* from the caller's key, so results
+are invariant to the device count (only reduction order differs).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,16 +44,23 @@ class MPPIConfig:
 
 
 def rollout_costs(dynamics: Callable, cost: Callable, z0: jnp.ndarray,
-                  controls: jnp.ndarray, terminal_cost: Callable = None):
+                  controls: jnp.ndarray, terminal_cost: Callable = None,
+                  vary_axis: Optional[str] = None):
     """Evaluate per-rollout trajectory costs.
 
     dynamics: (z, u) -> z'     batched over leading axis
     cost:     (z, u, t) -> (K,) stage costs
     z0: (latent,) or (K, latent); controls: (K, H, action_dim)
+    vary_axis: when called inside shard_map over a mesh axis, the name
+    of that axis — the scan carry must be cast device-varying up front.
     Returns (K,) total costs."""
     k = controls.shape[0]
     if z0.ndim == 1:
         z0 = jnp.broadcast_to(z0[None, :], (k, z0.shape[0]))
+    acc0 = jnp.zeros((k,), jnp.float32)
+    if vary_axis is not None:
+        z0 = jax.lax.pcast(z0, (vary_axis,), to="varying")
+        acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
 
     def step(carry, inp):
         z, acc = carry
@@ -49,40 +71,90 @@ def rollout_costs(dynamics: Callable, cost: Callable, z0: jnp.ndarray,
 
     ts = jnp.arange(controls.shape[1])
     (z_final, total), _ = jax.lax.scan(
-        step, (z0, jnp.zeros((k,), jnp.float32)),
+        step, (z0, acc0),
         (jnp.swapaxes(controls, 0, 1), ts))
     if terminal_cost is not None:
         total = total + terminal_cost(z_final)
     return total
 
 
+def _mppi_update(eps, nominal, z0, dynamics, cost, cfg: MPPIConfig,
+                 terminal_cost, n_total: int, axis: Optional[str] = None):
+    """Core MPPI update from a (local) noise shard.
+
+    When `axis` is set the function runs *inside* shard_map: eps holds
+    this device's rollouts and every reduction pairs with a collective
+    over `axis` (psum / pmin over ICI)."""
+    controls = jnp.clip(nominal[None] + eps, cfg.action_low,
+                        cfg.action_high)
+    costs = rollout_costs(dynamics, cost, z0, controls, terminal_cost,
+                          vary_axis=axis)
+    beta = jnp.min(costs)
+    if axis is not None:
+        beta = jax.lax.pmin(beta, axis)
+    w = jnp.exp(-(costs - beta) / cfg.temperature)
+    # Weighted average of the *clipped* perturbed controls.
+    weighted = jnp.einsum("k,kha->ha", w, controls)
+    w_sum = jnp.sum(w)
+    w2_sum = jnp.sum(w * w)
+    cost_sum = jnp.sum(costs)
+    if axis is not None:
+        weighted, w_sum, w2_sum, cost_sum = jax.lax.psum(
+            (weighted, w_sum, w2_sum, cost_sum), axis)
+    new_nominal = weighted / w_sum
+    diagnostics = {
+        "min_cost": beta,
+        "mean_cost": cost_sum / n_total,
+        "ess": (w_sum * w_sum) / w2_sum,
+    }
+    return new_nominal, diagnostics
+
+
 def mppi_step(key, nominal: jnp.ndarray, z0: jnp.ndarray,
               dynamics: Callable, cost: Callable, cfg: MPPIConfig,
-              terminal_cost: Callable = None):
+              terminal_cost: Callable = None,
+              rollout_axis: Optional[str] = None,
+              mesh: Optional[Mesh] = None):
     """One MPPI update of the nominal control sequence.
 
     nominal: (H, A); returns (new_nominal (H, A), diagnostics dict).
-    All reductions are jnp.sum/min over the rollout axis — under pjit
-    with the rollout batch sharded on "dp", XLA lowers them to psums
-    over ICI automatically.
+
+    rollout_axis=None        : single-device program (or let GSPMD
+                               decide — reductions still lower to psums
+                               if inputs arrive sharded).
+    rollout_axis, mesh=None  : GSPMD — with_sharding_constraint pins the
+                               rollout batch to P(rollout_axis); needs
+                               an ambient mesh (jax.sharding.set_mesh or
+                               `with mesh:` around the jit call site).
+    rollout_axis + mesh      : explicit shard_map + psum/pmin.
     """
     h, a = nominal.shape
     eps = jax.random.normal(key, (cfg.n_rollouts, h, a), jnp.float32) \
         * cfg.noise_sigma
-    controls = jnp.clip(nominal[None] + eps, cfg.action_low,
-                        cfg.action_high)
-    costs = rollout_costs(dynamics, cost, z0, controls, terminal_cost)
-    beta = jnp.min(costs)
-    w = jnp.exp(-(costs - beta) / cfg.temperature)
-    w_sum = jnp.sum(w)
-    # Weighted average of the *clipped* perturbed controls.
-    new_nominal = jnp.einsum("k,kha->ha", w, controls) / w_sum
-    diagnostics = {
-        "min_cost": beta,
-        "mean_cost": jnp.mean(costs),
-        "ess": (w_sum * w_sum) / jnp.sum(w * w),
-    }
-    return new_nominal, diagnostics
+
+    if rollout_axis is None:
+        return _mppi_update(eps, nominal, z0, dynamics, cost, cfg,
+                            terminal_cost, cfg.n_rollouts)
+
+    if mesh is None:
+        eps = jax.lax.with_sharding_constraint(eps, P(rollout_axis))
+        controls_update = _mppi_update(eps, nominal, z0, dynamics, cost,
+                                       cfg, terminal_cost, cfg.n_rollouts)
+        return controls_update
+
+    if cfg.n_rollouts % mesh.shape[rollout_axis]:
+        raise ValueError(
+            f"n_rollouts={cfg.n_rollouts} not divisible by mesh axis "
+            f"'{rollout_axis}' size {mesh.shape[rollout_axis]}")
+
+    def body(eps_local):
+        return _mppi_update(eps_local, nominal, z0, dynamics, cost, cfg,
+                            terminal_cost, cfg.n_rollouts,
+                            axis=rollout_axis)
+
+    diag_specs = {"min_cost": P(), "mean_cost": P(), "ess": P()}
+    return jax.shard_map(body, mesh=mesh, in_specs=P(rollout_axis),
+                         out_specs=(P(), diag_specs))(eps)
 
 
 def receding_horizon_shift(nominal: jnp.ndarray) -> jnp.ndarray:

@@ -34,6 +34,11 @@ class ControllerConfig:
     n_ilqr_iterations: int = 0     # 0 disables iLQR refinement
     goal_weight: float = 1.0
     control_weight: float = 0.1
+    # Mesh axis to shard the MPPI rollout batch over (None = single
+    # device).  With a mesh passed to control_step the rollouts run
+    # under an explicit shard_map + psum; without one, GSPMD pins the
+    # batch via with_sharding_constraint (ambient mesh required).
+    rollout_axis: Optional[str] = None
 
 
 def unpack_rgba8_image(packed: jnp.ndarray, height: int,
@@ -65,11 +70,15 @@ def latent_cost_fn(goal_z: jnp.ndarray, cfg: ControllerConfig):
 
 
 def control_step(params, nominal, key, obs_words, goal_z,
-                 cfg: ControllerConfig):
+                 cfg: ControllerConfig, mesh=None):
     """One full control step (jit this, donate `nominal`):
 
     decode BC7 obs -> encode -> MPPI update -> (optional iLQR) ->
-    (action u_0, shifted nominal, diagnostics)."""
+    (action u_0, shifted nominal, diagnostics).
+
+    mesh: optional jax.sharding.Mesh — with cfg.rollout_axis set, the
+    MPPI rollout batch runs under an explicit shard_map over that axis
+    (psum/pmin weight reduction over ICI)."""
     dcfg = cfg.dynamics
     img = decode_obs(obs_words, dcfg.image_size, dcfg.image_size)
     z0 = D.encode(params, img[None].astype(jnp.uint8), dcfg)[0]
@@ -79,7 +88,8 @@ def control_step(params, nominal, key, obs_words, goal_z,
 
     cost = latent_cost_fn(goal_z, cfg)
     new_nominal, diag = mppi_mod.mppi_step(
-        key, nominal, z0, dyn_batched, cost, cfg.mppi)
+        key, nominal, z0, dyn_batched, cost, cfg.mppi,
+        rollout_axis=cfg.rollout_axis, mesh=mesh)
 
     if cfg.n_ilqr_iterations > 0:
         def dyn1(x, u):
@@ -102,7 +112,7 @@ class Controller:
     """Stateful convenience wrapper around the jitted control step."""
 
     def __init__(self, params, goal_z, cfg: ControllerConfig,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         self.params = params
         self.goal_z = goal_z
         self.cfg = cfg
@@ -110,7 +120,8 @@ class Controller:
         self.nominal = jnp.zeros(
             (cfg.mppi.horizon, cfg.mppi.action_dim), jnp.float32)
         self._step = jax.jit(
-            functools.partial(control_step, cfg=cfg), donate_argnums=(1,))
+            functools.partial(control_step, cfg=cfg, mesh=mesh),
+            donate_argnums=(1,))
 
     def step(self, obs_words) -> np.ndarray:
         self.key, sub = jax.random.split(self.key)
