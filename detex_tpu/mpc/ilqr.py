@@ -4,8 +4,12 @@ New TPU-native component (no reference counterpart).  Refines an MPPI
 plan with a few Gauss-Newton iterations:
 
   linearize   : per-step jacobians via vmap(jacfwd) along the trajectory
-  backward    : Riccati recursion as a lax.scan (reverse)
-  forward     : rollout with a parallel line search over alphas
+  backward    : Riccati recursion — either a reverse lax.scan (depth H)
+                or the log-depth parallel LQT (parallel=True: the
+                Gauss-Newton subproblem IS an LQT, solved with the
+                associative-scan elements of parallel_lqr.py; its
+                batched element combines ride the MXU)
+  forward     : rollout with a line search vmapped over all alphas
 
 Everything is functional and static-shaped: horizon and iteration
 counts are compile-time constants, so the whole solve jits into one
@@ -20,12 +24,18 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from detex_tpu.mpc import parallel_lqr as PL
+
 
 @dataclasses.dataclass(frozen=True)
 class ILQRConfig:
     n_iterations: int = 5
     reg_init: float = 1e-6
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)
+    # Solve each Gauss-Newton subproblem with the log-depth parallel
+    # LQT instead of the sequential reverse scan.  Wins once H is large
+    # (the combine is O(n^3) per element but depth log2(H) vs H).
+    parallel: bool = False
 
 
 def _rollout(dynamics, x0, us):
@@ -89,6 +99,18 @@ def ilqr_solve(dynamics: Callable, cost: Callable,
             (fx, fu, lx, lu, lxx, luu, lux), reverse=True)
         return ks, bigks
 
+    def backward_parallel(fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T,
+                          reg):
+        """Log-depth backward: the subproblem is an LQT with Q=lxx,
+        q=lx, R=luu+reg I, r=lu, M=lux, c=0 in deviation variables."""
+        r_reg = luu + reg * jnp.eye(m)[None]
+        zeros_c = jnp.zeros((h, n), fx.dtype)
+        p_all, eta_all = PL.lqt_backward_parallel(
+            fx, fu, zeros_c, lxx, lx, r_reg, lu, lux, vxx_T, vx_T)
+        bigk, kff = PL.lqt_gains(fx, fu, zeros_c, r_reg, lu, lux,
+                                 p_all[1:], eta_all[1:])
+        return -kff, -bigk
+
     def forward(xs_ref, us_ref, ks, bigks, alpha):
         def step(x, inp):
             x_ref, u_ref, k_t, bigk_t = inp
@@ -109,19 +131,21 @@ def ilqr_solve(dynamics: Callable, cost: Callable,
         lxx, luu, lux = c_hess(xs[:-1], us, ts)
         vx_T = jax.grad(terminal_cost)(xs[-1])
         vxx_T = jax.hessian(terminal_cost)(xs[-1])
-        ks, bigks = backward(fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T,
-                             reg)
+        bwd = backward_parallel if cfg.parallel else backward
+        ks, bigks = bwd(fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T, reg)
 
         def try_alpha(alpha):
             xs_a, us_a = forward(xs, us, ks, bigks, alpha)
             return trajectory_cost(cost, terminal_cost, xs_a, us_a), \
                 xs_a, us_a
 
-        costs_xs_us = [try_alpha(a) for a in cfg.alphas]
-        costs = jnp.stack([c for c, _, _ in costs_xs_us])
+        # All line-search candidates roll out together (one batched
+        # scan instead of len(alphas) sequential rollouts).
+        costs, xs_all, us_all = jax.vmap(try_alpha)(
+            jnp.asarray(cfg.alphas, jnp.float32))
         best = jnp.argmin(costs)
-        xs_best = jnp.stack([x for _, x, _ in costs_xs_us])[best]
-        us_best = jnp.stack([u for _, _, u in costs_xs_us])[best]
+        xs_best = xs_all[best]
+        us_best = us_all[best]
         best_cost = costs[best]
         improved = best_cost < total
         xs = jnp.where(improved, xs_best, xs)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _combine(e1, e2):
@@ -80,6 +81,147 @@ def lqr_gains_from_value(f_mat, l_mat, c_vec, u_cost, p_next, eta_next):
     quu = u_cost + lt @ p_next @ l_mat
     k_fb = jnp.linalg.solve(quu, lt @ p_next @ f_mat)
     rhs = lt @ (p_next @ c_vec[..., None] - eta_next[..., None])
+    k_ff = jnp.linalg.solve(quu, rhs)[..., 0]
+    return k_fb, k_ff
+
+
+def lqt_backward_parallel(f_mat, l_mat, c_vec, q_mat, q_vec, r_mat,
+                          r_vec, m_mat, p_term, p_vec_term):
+    """General parallel LQT backward pass (linear + cross cost terms).
+
+    Stage k: dynamics x⁺ = F x + L u + c, cost
+        0.5 x'Q x + q'x + 0.5 u'R u + r'u + u'M x
+    terminal 0.5 x'P_T x + p_T'x.  All per-stage args (H, ...).
+
+    This is what iLQR's Gauss-Newton subproblem is: Q=lxx, q=lx,
+    R=luu(+reg), r=lu, M=lux around the current trajectory.  The cross
+    and control-linear terms are folded into the state cost by the
+    substitution u = v - R^{-1}(M x + r):
+
+        Q~ = Q - M'R^{-1}M   q~ = q - M'R^{-1}r
+        F~ = F - L R^{-1}M   c~ = c - L R^{-1}r
+
+    after which the element scan of lqr_backward_parallel applies with
+    eta seeded from the linear terms (value gradient at x is
+    P_k x - eta_k).
+
+    Returns (P (H+1, n, n), eta (H+1, n))."""
+    elems = _lqt_elements(f_mat, l_mat, c_vec, q_mat, q_vec, r_mat,
+                          r_vec, m_mat, p_term, p_vec_term)
+    combined = jax.lax.associative_scan(
+        lambda a, b: _combine_v(b, a), elems, reverse=True)
+    _, _, _, eta, j = combined
+    return j, eta
+
+
+def _lqt_elements(f_mat, l_mat, c_vec, q_mat, q_vec, r_mat, r_vec,
+                  m_mat, p_term, p_vec_term):
+    """Per-stage conditional value elements for the general LQT (H+1
+    entries; the last is the terminal cost)."""
+    h, n, _ = f_mat.shape
+    r_inv = jnp.linalg.inv(r_mat)
+    ri_m = r_inv @ m_mat
+    ri_r = (r_inv @ r_vec[..., None])[..., 0]
+    mt = jnp.swapaxes(m_mat, -1, -2)
+    q_t = q_mat - mt @ ri_m
+    qv_t = q_vec - (mt @ ri_r[..., None])[..., 0]
+    f_t = f_mat - l_mat @ ri_m
+    c_t = c_vec - (l_mat @ ri_r[..., None])[..., 0]
+    c_elem = l_mat @ r_inv @ jnp.swapaxes(l_mat, -1, -2)
+    return (
+        jnp.concatenate([f_t, jnp.zeros((1, n, n), f_mat.dtype)]),
+        jnp.concatenate([c_t, jnp.zeros((1, n), f_mat.dtype)]),
+        jnp.concatenate([c_elem, jnp.zeros((1, n, n), f_mat.dtype)]),
+        jnp.concatenate([-qv_t, -p_vec_term[None]]),
+        jnp.concatenate([q_t, p_term[None]]),
+    )
+
+
+def _identity_elements(k: int, n: int, dtype) -> tuple:
+    """k identity elements: combine(e, id) == e == combine(id, e)."""
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (k, n, n))
+    zmat = jnp.zeros((k, n, n), dtype)
+    zvec = jnp.zeros((k, n), dtype)
+    return (eye, zvec, zmat, zvec, zmat)
+
+
+def lqt_backward_parallel_sharded(f_mat, l_mat, c_vec, q_mat, q_vec,
+                                  r_mat, r_vec, m_mat, p_term,
+                                  p_vec_term, mesh: Mesh,
+                                  axis: str = "sp"):
+    """Horizon-distributed parallel LQT backward (SURVEY.md §7 hard
+    part 4 — the long-context analogue).
+
+    The H+1 value elements shard over mesh axis `axis` (the time axis
+    is the "sequence").  Three-phase block scan:
+
+      1. each device runs the log-depth suffix scan over its local
+         chunk of the horizon,
+      2. one `all_gather` over `axis` exchanges the n_dev chunk-total
+         elements (a few (n,n) matrices each — tiny on ICI),
+      3. every device combines the suffix of *later* chunks into its
+         local results (one batched combine).
+
+    Communication is exactly one all_gather of n_dev elements,
+    independent of H.  Returns (P (H+1, n, n), eta (H+1, n)),
+    identical (to fp) to lqt_backward_parallel."""
+    h = f_mat.shape[0]
+    n = f_mat.shape[1]
+    n_dev = mesh.shape[axis]
+    elems = _lqt_elements(f_mat, l_mat, c_vec, q_mat, q_vec, r_mat,
+                          r_vec, m_mat, p_term, p_vec_term)
+    total = h + 1
+    pad = (-total) % n_dev
+    if pad:
+        # Identity padding sits *after* the terminal element; suffix
+        # combines that include it are unchanged.
+        ident = _identity_elements(pad, n, f_mat.dtype)
+        elems = tuple(jnp.concatenate([e, i]) for e, i in
+                      zip(elems, ident))
+
+    def body(local):
+        # 1. local suffix scan (reverse): out[i] = e_i ⊕ ... ⊕ e_last.
+        local_suffix = jax.lax.associative_scan(
+            lambda a, b: _combine_v(b, a), local, reverse=True)
+        chunk_total = jax.tree.map(lambda x: x[0], local_suffix)
+        # 2. exchange chunk totals.
+        gathered = jax.lax.all_gather(chunk_total, axis)
+        # 3. suffix-combine the *later* chunks: R_j = T_j ⊕ ... ⊕ T_end,
+        #    then my tail element is R_{i+1} (identity for the last).
+        tails = jax.lax.associative_scan(
+            lambda a, b: _combine_v(b, a), gathered, reverse=True)
+        ident = jax.tree.map(lambda x: x[0],
+                             _identity_elements(1, n, f_mat.dtype))
+        tails = jax.tree.map(
+            lambda t, i: jnp.concatenate([t, i[None]]), tails, ident)
+        i_dev = jax.lax.axis_index(axis)
+        my_tail = jax.tree.map(lambda t: t[i_dev + 1], tails)
+        my_tail_b = jax.tree.map(
+            lambda t, ls: jnp.broadcast_to(t, ls.shape),
+            my_tail, local_suffix)
+        return _combine_v(local_suffix, my_tail_b)
+
+    spec = (P(axis), P(axis), P(axis), P(axis), P(axis))
+    combined = jax.shard_map(body, mesh=mesh, in_specs=(spec,),
+                             out_specs=spec)(elems)
+    _, _, _, eta, j = combined
+    return j[:total], eta[:total]
+
+
+def lqt_gains(f_mat, l_mat, c_vec, r_mat, r_vec, m_mat, p_next,
+              eta_next):
+    """Feedback/feedforward gains for the general LQT from the
+    next-step value function (P_{k+1}, eta_{k+1}): u_k = -K x_k - k_k.
+
+        quu = R + L'P⁺L
+        K   = quu^{-1} (M + L'P⁺F)
+        k   = quu^{-1} (r + L'(P⁺c - eta⁺))
+    """
+    lt = jnp.swapaxes(l_mat, -1, -2)
+    quu = r_mat + lt @ p_next @ l_mat
+    k_fb = jnp.linalg.solve(quu, m_mat + lt @ p_next @ f_mat)
+    rhs = r_vec[..., None] + lt @ (p_next @ c_vec[..., None]
+                                   - eta_next[..., None])
     k_ff = jnp.linalg.solve(quu, rhs)[..., 0]
     return k_fb, k_ff
 

@@ -32,6 +32,7 @@ class ControllerConfig:
     mppi: mppi_mod.MPPIConfig = mppi_mod.MPPIConfig()
     obs_format: int = F.BPTC
     n_ilqr_iterations: int = 0     # 0 disables iLQR refinement
+    ilqr_parallel: bool = False    # log-depth parallel-LQT backward
     goal_weight: float = 1.0
     control_weight: float = 0.1
     # Mesh axis to shard the MPPI rollout batch over (None = single
@@ -100,7 +101,8 @@ def control_step(params, nominal, key, obs_words, goal_z,
 
         _, new_nominal, refined_cost = ilqr_mod.ilqr_solve(
             dyn1, cost1, lambda x: jnp.float32(0.0), z0, new_nominal,
-            ilqr_mod.ILQRConfig(n_iterations=cfg.n_ilqr_iterations))
+            ilqr_mod.ILQRConfig(n_iterations=cfg.n_ilqr_iterations,
+                                parallel=cfg.ilqr_parallel))
         diag = dict(diag, ilqr_cost=refined_cost)
 
     action = new_nominal[0]
