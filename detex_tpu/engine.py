@@ -23,6 +23,7 @@ import jax
 import numpy as np
 
 from detex_tpu import convert as C
+from detex_tpu import convert_device as CD
 from detex_tpu import formats as F
 from detex_tpu.ops import bc, bptc_float, eac, etc, rgtc
 from detex_tpu.ops.bitops import words_from_bytes
@@ -129,6 +130,80 @@ def decode_blocks(tex_fmt: int, blocks_u8: np.ndarray,
     return _native_bytes(idx, pix), np.asarray(valid)
 
 
+def _native_to_typed(idx: int, pix):
+    """Decoder-native device arrays -> (n_pixels, lanes) typed device
+    array in the family's decoded pixel format (same byte layout as
+    _native_bytes, kept on device).  Runs under jit."""
+    import jax.numpy as jnp
+    kind = _DECODERS[idx][1]
+    if kind == "u32":
+        # Packed 32-bit pixels -> little-endian u8 lanes (R,G,B,A).
+        v = pix.astype(jnp.uint32)
+        lanes = [(v >> s) & 0xFF for s in (0, 8, 16, 24)]
+        return jnp.stack(lanes, axis=-1).astype(jnp.uint8).reshape(-1, 4)
+    if kind == "u8":
+        return pix.astype(jnp.uint8).reshape(pix.shape[0] * 16, -1)
+    if kind == "i16":
+        return jax.lax.bitcast_convert_type(
+            pix.astype(jnp.int16), jnp.uint16).reshape(pix.shape[0] * 16,
+                                                       -1)
+    return pix.astype(jnp.uint16).reshape(pix.shape[0] * 16, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
+                     width: int, height: int, _params_key: tuple):
+    """Jitted decode -> convert -> zero-invalid -> assemble pipeline
+    (the whole reference call stack texture.c:105-145 + convert.c as
+    ONE device computation, no host round-trip)."""
+    import jax.numpy as jnp
+    idx = F.compressed_index(tex_fmt)
+    dec_fn = _DECODERS[idx][0]
+    src_fmt = F.texture_pixel_format(tex_fmt)
+    lanes = CD.repr_lanes(pixel_format)
+
+    def pipeline(words, mode_mask, flags):
+        pix, valid = dec_fn(words, mode_mask, flags)
+        typed = _native_to_typed(idx, pix)
+        conv = CD.convert_pixels_device(typed, src_fmt, pixel_format)
+        n_blocks = valid.shape[0]
+        conv = conv.reshape(n_blocks, 16, lanes)
+        # Invalid blocks zero in the *target* format (texture.c:125-127).
+        conv = jnp.where(valid[:, None, None], conv,
+                         jnp.zeros((), conv.dtype))
+        tiles = conv.reshape(hb, wb, 4, 4, lanes)
+        img = tiles.transpose(0, 2, 1, 3, 4).reshape(hb * 4, wb * 4,
+                                                     lanes)
+        return img[:height, :width]
+
+    return jax.jit(pipeline)
+
+
+def decompress_texture_linear_device(tex: Texture,
+                                     pixel_format: int = None,
+                                     mode_mask=0xFFFFFFFF, flags=0):
+    """Whole-texture decode fully on device: returns a (height, width,
+    lanes) typed device array in `pixel_format` (uint8/uint16/uint32
+    lanes per convert_device's representation).  Raises
+    ConversionError if the conversion path cannot run on device (e.g.
+    HDR gamma != 1, which needs the host powf table)."""
+    if pixel_format is None:
+        pixel_format = F.texture_pixel_format(tex.format)
+    if not F.is_compressed(tex.format):
+        raise ValueError("device path requires a compressed texture")
+    src_fmt = F.texture_pixel_format(tex.format)
+    if not CD.path_supported(src_fmt, pixel_format):
+        raise C.ConversionError(
+            f"conversion {F.format_name(src_fmt)} -> "
+            f"{F.format_name(pixel_format)} is not device-executable")
+    blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
+    words = words_from_bytes(blocks)
+    fn = _device_pipeline(tex.format, pixel_format, tex.width_in_blocks,
+                          tex.height_in_blocks, tex.width, tex.height,
+                          CD.hdr_params_key())
+    return fn(words, np.uint32(mode_mask), np.uint32(flags))
+
+
 def _assemble_linear(block_pixels: np.ndarray, wb: int, hb: int,
                      width: int, height: int, ps: int) -> np.ndarray:
     """(N, 16*ps) per-block pixel bytes -> (height*width*ps,) linear
@@ -151,6 +226,16 @@ def decompress_texture_linear(tex: Texture, pixel_format: int = None,
         return C.convert_pixels(tex.data, tex.width * tex.height,
                                 F.texture_pixel_format(tex.format),
                                 pixel_format)
+    if backend == "device":
+        # Fully-fused device pipeline (decode+convert+assemble in one
+        # jit); falls back to host conversion only for paths the
+        # device cannot express (HDR gamma != 1 powf table).
+        try:
+            img = decompress_texture_linear_device(tex, pixel_format,
+                                                   mode_mask, flags)
+            return CD.to_bytes(np.asarray(img))
+        except C.ConversionError:
+            backend = "jax"
     blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
     native, valid = decode_blocks(tex.format, blocks, mode_mask, flags,
                                   backend)

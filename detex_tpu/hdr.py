@@ -51,6 +51,39 @@ def _down32(x64: np.ndarray) -> np.ndarray:
     return np.where(over, np.nextafter(y, np.float32(-np.inf)), y)
 
 
+def _down_sub_f32(a, b) -> np.ndarray:
+    """f32 a - b rounded toward -inf with a SINGLE rounding (one
+    FE_DOWNWARD subtraction, hdr.c:124/174 semantics).  The plain
+    float64 subtraction can itself round (1 - 2^-57 -> 1.0 in RN64),
+    so `_down32` alone double-rounds; a float64 TwoSum residual
+    recovers the exact difference and disambiguates."""
+    with np.errstate(invalid="ignore"):
+        a64 = np.asarray(a, np.float32).astype(np.float64)
+        b64 = np.asarray(b, np.float32).astype(np.float64)
+        c = -b64
+        s = a64 + c
+        bv = s - a64
+        err = (a64 - (s - bv)) + (c - bv)
+        y = s.astype(np.float32)
+        y64 = y.astype(np.float64)
+        over = (y64 > s) | ((y64 == s) & (err < 0))
+        return np.where(over, np.nextafter(y, np.float32(-np.inf)), y)
+
+
+def _down_recip_f32(d: np.float32) -> np.float32:
+    """f32 1/d rounded toward -inf with a single rounding.  The
+    over-rounding test y > 1/d is evaluated exactly as y*d > 1 for
+    d > 0 (y*d is exact in float64: 24+24 mantissa bits), avoiding the
+    double rounding of f32(RN64(1/d))."""
+    d64 = np.float64(np.float32(d))
+    y = np.float32(1.0 / d64)
+    prod = y.astype(np.float64) * d64
+    over = (prod > 1.0) if d64 > 0 else (prod < 1.0)
+    if over:
+        y = np.nextafter(y, np.float32(-np.inf))
+    return np.float32(y)
+
+
 def _clamp01_f32(x: np.ndarray) -> np.ndarray:
     """detexClamp0To1 (detex.h): NaN passes through (both compares
     false), exactly like the C code."""
@@ -104,11 +137,13 @@ def _map_range_gamma1(f: np.ndarray, rmin: float, rmax: float):
     f = np.asarray(f, dtype=np.float32)
     if rmin == 0.0 and rmax == 1.0:
         return _clamp01_f32(f)
-    denom = _down32(np.float64(np.float32(rmax))
-                    - np.float64(np.float32(rmin)))
-    factor = _down32(1.0 / denom.astype(np.float64))
-    t = _down32(f.astype(np.float64) - np.float64(np.float32(rmin)))
-    u = _down32(t.astype(np.float64) * factor.astype(np.float64))
+    denom = np.float32(_down_sub_f32(np.float32(rmax), np.float32(rmin)))
+    factor = _down_recip_f32(denom)
+    t = _down_sub_f32(f, np.float32(rmin))
+    # t * factor is exact in float64 (24+24 mantissa bits), so one
+    # downward f32 rounding of the float64 product is single-rounded.
+    with np.errstate(invalid="ignore"):
+        u = _down32(t.astype(np.float64) * factor.astype(np.float64))
     return _clamp01_f32(u)
 
 

@@ -1,0 +1,178 @@
+"""Device-side conversion parity: every jnp conversion edge and the
+fully-fused texture pipeline are bit-exact against the host oracle
+(detex_tpu/convert.py, itself golden-tested vs the compiled reference;
+reference convert.c:31-864, texture.c:105-145)."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+import detex_tpu.convert as C
+import detex_tpu.convert_device as CD
+import detex_tpu.engine as engine
+import detex_tpu.formats as F
+import detex_tpu.hdr as H
+from detex_tpu import io as tio
+
+REF = Path("/root/reference")
+
+_N = 2048
+
+
+def _random_buf(rng, src_fmt, n):
+    """Random pixel buffer with float special values injected."""
+    buf = rng.integers(0, 256, size=n * F.pixel_size(src_fmt),
+                       dtype=np.uint8)
+    if F.is_float(src_fmt):
+        if F.component_size(src_fmt) == 2:
+            sp = np.array([0x0000, 0x8000, 0x3C00, 0x7C00, 0xFC00,
+                           0x7E00, 0xFFFF, 0x0001, 0x8001, 0x03FF,
+                           0x7BFF], np.uint16)
+            buf.view(np.uint16)[:sp.size] = sp
+        else:
+            sp = np.array([0, 0x80000000, 0x3F800000, 0x7F800000,
+                           0xFF800000, 0x7FC00000, 0x7F7FFFFF,
+                           0x3F000000], np.uint32)
+            buf.view(np.uint32)[:sp.size] = sp
+    return buf
+
+
+def _ftz_pixels(buf, src_fmt, rmin, rmax, n):
+    """Pixels whose f32 HDR chain passes through the denormal range:
+    XLA flushes denormals (FTZ/DAZ — as does the -Ofast-compiled
+    reference), so those pixels are excluded from exact comparison
+    for non-default HDR ranges (documented in convert_device.py)."""
+    if not (F.is_float(src_fmt) and F.component_size(src_fmt) == 4
+            and F.is_hdr(src_fmt)):
+        return np.zeros(n, bool)
+    u = buf.view(np.uint32).reshape(n, -1)
+    f = buf.view(np.float32).reshape(n, -1).astype(np.float64)
+    e = (u >> 23) & 0xFF
+    m = u & 0x7FFFFF
+    den_in = (e == 0) & (m != 0)
+    with np.errstate(invalid="ignore"):
+        t = f - np.float32(rmin)
+        span = max(abs(np.float32(rmax) - np.float32(rmin)), 1e-30)
+        den_t = (np.abs(t) > 0) & (np.abs(t) < 2.0 ** -125)
+        den_u = (np.abs(t) / span > 0) & (np.abs(t) / span < 2.0 ** -125)
+    return (den_in | den_t | den_u).any(axis=1)
+
+
+@pytest.mark.parametrize("edge_i", range(len(C.TABLE)),
+                         ids=[f"{F.format_name(s)}->{F.format_name(d)}"
+                              for s, d, _ in C.TABLE])
+def test_edge_parity(edge_i):
+    """Each device edge matches its host edge bit-for-bit."""
+    src, dst, host_fn = C.TABLE[edge_i]
+    rng = np.random.default_rng(edge_i)
+    buf = _random_buf(rng, src, _N)
+    host = np.ascontiguousarray(host_fn(buf, _N), np.uint8)
+    dev_fn = jax.jit(lambda a, _k=edge_i: CD.DEVICE_TABLE[_k](a))
+    dev = CD.to_bytes(np.asarray(dev_fn(CD.from_bytes(buf, _N, src))))
+    np.testing.assert_array_equal(host, dev)
+
+
+@pytest.mark.parametrize("rmin,rmax", [(0.1, 2.0), (-1.0, 1.0),
+                                       (0.0, 2.0)])
+def test_hdr_edges_range_params(rmin, rmax):
+    """HDR edges with non-default gamma-1 range params: the device
+    TwoSum/Dekker FE_DOWNWARD emulation matches the host oracle on
+    all non-denormal-chain pixels."""
+    hdr_edges = [i for i, (s, _, _) in enumerate(C.TABLE)
+                 if F.is_hdr(s)]
+    H.set_hdr_parameters(1.0, rmin, rmax)
+    try:
+        for i in hdr_edges:
+            src, dst, host_fn = C.TABLE[i]
+            rng = np.random.default_rng(1000 + i)
+            buf = _random_buf(rng, src, _N)
+            host = np.ascontiguousarray(host_fn(buf, _N), np.uint8)
+            dev_fn = jax.jit(lambda a, _k=i: CD.DEVICE_TABLE[_k](a))
+            dev = CD.to_bytes(np.asarray(
+                dev_fn(CD.from_bytes(buf, _N, src))))
+            mism = (host != dev).reshape(_N, -1)
+            mism &= ~_ftz_pixels(buf, src, rmin, rmax, _N)[:, None]
+            assert not mism.any(), \
+                (F.format_name(src), F.format_name(dst),
+                 int(mism.sum()))
+    finally:
+        H.set_hdr_parameters(1.0, 0.0, 1.0)
+
+
+def test_multi_step_path_parity():
+    """A conversion requiring a multi-step path executes the identical
+    step sequence on device (path identity is part of bit-exactness,
+    convert.c:888-1048)."""
+    rng = np.random.default_rng(7)
+    # RGB8 -> RGBA16 has no direct edge (goes via RGB16 or RGBX8).
+    for src, dst in [(F.RGB8, F.RGBA16), (F.FLOAT_RGB32, F.RGBX16),
+                     (F.RGBA8, F.FLOAT_RGBX16),
+                     (F.SIGNED_R16, F.FLOAT_R16)]:
+        buf = _random_buf(rng, src, _N)
+        host = C.convert_pixels(buf, _N, src, dst)
+        dev = CD.convert_pixels_jax(buf, _N, src, dst)
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_unsupported_gamma_reports():
+    H.set_hdr_parameters(2.2, 0.0, 1.0)
+    try:
+        assert not CD.path_supported(F.FLOAT_RGBX16_HDR, F.RGBX16)
+        assert CD.path_supported(F.RGBA8, F.BGRA8)
+    finally:
+        H.set_hdr_parameters(1.0, 0.0, 1.0)
+    assert CD.path_supported(F.FLOAT_RGBX16_HDR, F.RGBX16)
+
+
+# Full-texture fused pipeline over the corpus, decoding to the
+# viewer's target formats (detex-view.c:174-183) and some 16-bit ones.
+_CORPUS = [
+    ("test-texture-BC1.ktx", F.BGRA8),
+    ("test-texture-BC2.ktx", F.BGRA8),
+    ("test-texture-BC3.ktx", F.RGB8),
+    ("test-texture-RGTC1.ktx", F.RGBX8),
+    ("test-texture-SIGNED_RGTC1.ktx", F.R16),
+    ("test-texture-RGTC2.ktx", F.RGBX8),
+    ("test-texture-SIGNED_RGTC2.ktx", F.RG16),
+    ("test-texture-BPTC.ktx", F.BGRA8),
+    ("test-texture-BPTC_FLOAT.ktx", F.RGBX16),
+    ("test-texture-BPTC_FLOAT.ktx", F.FLOAT_RGB16),
+    ("test-texture-ETC1.ktx", F.BGRX8),
+    ("test-texture-ETC2.ktx", F.RGBA16),
+    ("test-texture-ETC2_PUNCHTHROUGH.ktx", F.RGBA8),
+    ("test-texture-ETC2_EAC.ktx", F.BGRA8),
+    ("test-texture-EAC_R11.ktx", F.R8),
+    ("test-texture-EAC_SIGNED_R11.ktx", F.R16),
+    ("test-texture-EAC_RG11.ktx", F.RG8),
+]
+
+
+@pytest.mark.parametrize("fname,target", _CORPUS,
+                         ids=[f"{f.split('-')[-1]}->{F.format_name(t)}"
+                              for f, t in _CORPUS])
+def test_texture_device_pipeline(fname, target):
+    """decompress_texture_linear(backend='device') ==
+    backend='jax' (host conversion) bit-for-bit over the corpus."""
+    tex = tio.load_ktx(str(REF / fname))[0]
+    host = engine.decompress_texture_linear(tex, target)
+    dev = engine.decompress_texture_linear(tex, target,
+                                           backend="device")
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_texture_device_pipeline_partial_blocks():
+    """Non-multiple-of-4 texture: device crop matches host crop
+    (texture.c:115-143 partial edge blocks)."""
+    from detex_tpu.texture import Texture
+    rng = np.random.default_rng(3)
+    full = tio.load_ktx(str(REF / "test-texture-ETC2_EAC.ktx"))[0]
+    tex = Texture(format=full.format, width=61, height=43,
+                  width_in_blocks=16, height_in_blocks=11,
+                  data=full.data[:16 * 11 * 16])
+    host = engine.decompress_texture_linear(tex, F.BGRA8)
+    dev = engine.decompress_texture_linear(tex, F.BGRA8,
+                                           backend="device")
+    np.testing.assert_array_equal(host, dev)
+    assert host.size == 61 * 43 * 4
