@@ -150,6 +150,20 @@ def _native_to_typed(idx: int, pix):
     return pix.astype(jnp.uint16).reshape(pix.shape[0] * 16, -1)
 
 
+# 8-bit x 4-lane formats whose mutual conversions are compositions of
+# no-ops and R/B swaps (convert.c:768-778): representable on PACKED
+# 32-bit pixels, so the fused pipeline can skip the byte unpack and
+# keep the assembly transpose in 32-bit lanes (4x fewer VPU ops).
+_PACKED32_FMTS = None
+
+
+def _packed32_fmts():
+    global _PACKED32_FMTS
+    if _PACKED32_FMTS is None:
+        _PACKED32_FMTS = {F.RGBA8, F.RGBX8, F.BGRA8, F.BGRX8}
+    return _PACKED32_FMTS
+
+
 @functools.lru_cache(maxsize=None)
 def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
                      width: int, height: int, _params_key: tuple):
@@ -158,15 +172,29 @@ def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
     ONE device computation, no host round-trip)."""
     import jax.numpy as jnp
     idx = F.compressed_index(tex_fmt)
-    dec_fn = _DECODERS[idx][0]
+    dec_fn, kind = _DECODERS[idx]
     src_fmt = F.texture_pixel_format(tex_fmt)
     lanes = CD.repr_lanes(pixel_format)
+    # Packed fast path: decoder emits packed 32-bit pixels and the
+    # conversion is a noop/R-B-swap composition — byte-identical to
+    # the lane path, but the whole pipeline stays in u32.
+    packed = (kind == "u32" and src_fmt in _packed32_fmts()
+              and pixel_format in _packed32_fmts())
 
     def pipeline(words, mode_mask, flags):
         pix, valid = dec_fn(words, mode_mask, flags)
+        n_blocks = valid.shape[0]
+        if packed:
+            v = pix.astype(jnp.uint32)
+            if F.is_bgr(src_fmt) != F.is_bgr(pixel_format):
+                v = ((v & 0xFF) << 16) | (v & jnp.uint32(0xFF00FF00)) \
+                    | ((v >> 16) & 0xFF)
+            v = jnp.where(valid[:, None], v, jnp.uint32(0))
+            img = v.reshape(hb, wb, 4, 4).transpose(0, 2, 1, 3) \
+                .reshape(hb * 4, wb * 4, 1)
+            return img[:height, :width]
         typed = _native_to_typed(idx, pix)
         conv = CD.convert_pixels_device(typed, src_fmt, pixel_format)
-        n_blocks = valid.shape[0]
         conv = conv.reshape(n_blocks, 16, lanes)
         # Invalid blocks zero in the *target* format (texture.c:125-127).
         conv = jnp.where(valid[:, None, None], conv,
@@ -183,10 +211,13 @@ def decompress_texture_linear_device(tex: Texture,
                                      pixel_format: int = None,
                                      mode_mask=0xFFFFFFFF, flags=0):
     """Whole-texture decode fully on device: returns a (height, width,
-    lanes) typed device array in `pixel_format` (uint8/uint16/uint32
-    lanes per convert_device's representation).  Raises
-    ConversionError if the conversion path cannot run on device (e.g.
-    HDR gamma != 1, which needs the host powf table)."""
+    lanes) typed device array in `pixel_format` whose bytes equal the
+    host path's.  8-bit 4-lane targets (RGBA8/RGBX8/BGRA8/BGRX8) from
+    packed-pixel decoders return (H, W, 1) uint32 PACKED pixels (same
+    bytes, 4x fewer lane ops); everything else returns
+    convert_device's lane representation.  Raises ConversionError if
+    the conversion path cannot run on device (HDR gamma != 1, which
+    needs the host powf table)."""
     if pixel_format is None:
         pixel_format = F.texture_pixel_format(tex.format)
     if not F.is_compressed(tex.format):

@@ -1,0 +1,133 @@
+"""Fused texture-pipeline benchmarks (BASELINE.md configs 2 and 4).
+
+config 2: batched ETC2_EAC full-texture decode -> RGBA8, as ONE jitted
+  device program through the fused decode+convert+assemble path
+  (engine._device_pipeline) — no host round-trip.
+config 4: BC6H HDR decode (all 14 modes, Pallas) -> FLOAT_RGB16 ->
+  f16->f32 -> latent conv encoder, fused into one jitted step (the
+  reference path decompress-bptc-float.c + half-float.c + convert.c,
+  feeding the new MPC front-end).
+
+Methodology matches bench.py: the iteration loop runs inside one
+jitted fori_loop whose scalar result is fetched (true sync through
+the remote TPU tunnel); the marginal rate between two iteration
+counts cancels fixed dispatch overhead.
+
+Usage: python tools/bench_pipelines.py [etc] [bc6h]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/detex_jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from detex_tpu import convert_device as CD  # noqa: E402
+from detex_tpu import formats as F  # noqa: E402
+from detex_tpu.mpc import dynamics as D  # noqa: E402
+from detex_tpu.ops.pallas import bptc_float_pallas  # noqa: E402
+from detex_tpu.ops.pallas import etc_eac_pallas  # noqa: E402
+
+ITERS_LO, ITERS_HI = 20, 220
+
+
+def _marginal(run, iters_lo=ITERS_LO, iters_hi=ITERS_HI, reps=3):
+    def timed(iters):
+        float(run(iters))                    # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(iters))                # fetch forces device sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+    return (timed(iters_hi) - timed(iters_lo)) / (iters_hi - iters_lo)
+
+
+def bench_etc_pipeline(n_blocks=1 << 16, target=None):
+    """config 2: ETC2_EAC texture (1024x1024) -> RGBA8, via the
+    engine's fused device pipeline (the product path)."""
+    from detex_tpu import engine
+    target = F.RGBA8 if target is None else target
+    rng = np.random.default_rng(1)
+    words = jnp.asarray(rng.integers(-2**31, 2**31, (n_blocks, 4),
+                                     np.int64).astype(np.int32))
+    side = int(np.sqrt(n_blocks)) * 4
+    wb = hb = side // 4
+    pipeline = engine._device_pipeline(F.ETC2_EAC, target, wb, hb,
+                                       side, side, CD.hdr_params_key())
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def run_fn(w, iters):
+        def body(i, acc):
+            img = pipeline(w ^ i, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            return acc ^ img[0, 0, 0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    dt = _marginal(lambda it: run_fn(words, it))
+    return {"metric": "etc2_eac_texture_to_rgba8_blocks_per_s",
+            "value": round(n_blocks / dt, 1), "unit": "blocks/s",
+            "ms_per_1024sq_texture": round(dt * 1e3, 3),
+            "platform": jax.devices()[0].platform}
+
+
+def bench_bc6h_encoder(image_size=64, batch=64):
+    """config 4: BC6H HDR -> FLOAT_RGB16 -> f16->f32 -> latent conv
+    encoder, one jitted step over a batch of observations."""
+    dcfg = D.DynamicsConfig(image_size=image_size, channels=3)
+    params = D.init_params(jax.random.PRNGKey(0), dcfg)
+    rng = np.random.default_rng(2)
+    n_blocks = (image_size // 4) ** 2
+    words = jnp.asarray(rng.integers(-2**31, 2**31,
+                                     (batch * n_blocks, 4), np.int64)
+                        .astype(np.int32))
+
+    def step(w):
+        pix, valid = bptc_float_pallas.decode_bptc_float(w)
+        # FLOAT_RGBX16 (u16 half bits) -> FLOAT_RGB16 -> f32, on device
+        half = pix.astype(jnp.uint16).reshape(-1, 4)[:, :3]
+        f32b = CD.f16_bits_to_f32_bits(half)
+        f = jax.lax.bitcast_convert_type(f32b, jnp.float32)
+        f = f.reshape(batch, n_blocks, 16, 3)
+        f = jnp.where(valid.reshape(batch, n_blocks)[..., None, None],
+                      f, 0.0)
+        hb = wb = image_size // 4
+        img = f.reshape(batch, hb, wb, 4, 4, 3) \
+            .transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(batch, image_size, image_size, 3)
+        z = D.encode(params, img, dcfg)
+        return z
+
+    @functools.partial(jax.jit, static_argnames="iters")
+    def run_fn(w, iters):
+        def body(i, acc):
+            z = step(w ^ i)
+            return acc + z[0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    dt = _marginal(lambda it: run_fn(words, it))
+    return {"metric": "bc6h_hdr_to_latent_images_per_s",
+            "value": round(batch / dt, 1), "unit": "images/s",
+            "ms_per_batch64": round(dt * 1e3, 3),
+            "blocks_per_s": round(batch * n_blocks / dt, 1),
+            "platform": jax.devices()[0].platform}
+
+
+def main():
+    which = sys.argv[1:] or ["etc", "bc6h"]
+    if "etc" in which:
+        print(json.dumps(bench_etc_pipeline()), flush=True)
+    if "bc6h" in which:
+        print(json.dumps(bench_bc6h_encoder()), flush=True)
+
+
+if __name__ == "__main__":
+    main()
