@@ -160,6 +160,12 @@ def _gather64(tab, bits):
 def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     w = [words_ref[i] for i in range(4)]          # each (8, L)
 
+    def funnel(lo, hi, bit):
+        """(lo | hi<<32) >> bit for bit in [0,31], branch-free: the
+        double shift (hi<<1)<<(31-bit) equals hi<<(32-bit) and is 0
+        at bit==0 without a select."""
+        return _shr(lo, bit) | _shl(_shl(hi, 1), 31 - bit)
+
     def dynf(start, width: int):
         """width<=16 bits at dynamic bit offset `start` (vector)."""
         w0 = _shr(start, 5)
@@ -169,9 +175,25 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
                                  jnp.where(w0 == 2, w[2], w[3])))
         hi = jnp.where(w0 == 0, w[1],
                        jnp.where(w0 == 1, w[2], w[3]))
-        lo_part = _shr(lo, bit)
-        hi_part = jnp.where(bit == 0, 0, _shl(hi, (32 - bit) & 31))
-        return (lo_part | hi_part) & ((1 << width) - 1)
+        return funnel(lo, hi, bit) & ((1 << width) - 1)
+
+    def window64(start):
+        """(P0, P1) = 64 bits of the block at dynamic offset `start`
+        (start in [0,128)); bits past the end read as 0.  Lets the
+        per-pixel extraction use a 2-way word pick instead of dynf's
+        4-way chains (the index streams span < 64 bits)."""
+        w0 = _shr(start, 5)
+        bit = start & 31
+        zero = jnp.zeros_like(start)
+        lo0 = jnp.where(w0 == 0, w[0],
+                        jnp.where(w0 == 1, w[1],
+                                  jnp.where(w0 == 2, w[2], w[3])))
+        lo1 = jnp.where(w0 == 0, w[1],
+                        jnp.where(w0 == 1, w[2],
+                                  jnp.where(w0 == 2, w[3], zero)))
+        lo2 = jnp.where(w0 == 0, w[2],
+                        jnp.where(w0 == 1, w[3], zero))
+        return funnel(lo0, lo1, bit), funnel(lo1, lo2, bit)
 
     mode_raw = _extract_mode_v(w[0] & 0xFF)
     mode = jnp.maximum(mode_raw, 0)
@@ -269,37 +291,57 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     color_bits = jnp.where(has_sec & isb_on, ib2, ib + isb)
     alpha_bits = jnp.where(has_sec, jnp.where(isb_on, ib, ib2), ib)
 
-    wc_c = jnp.where(color_bits == 2, 1, jnp.where(color_bits == 3, 3, 7))
-    wa_c = jnp.where(alpha_bits == 2, 1, jnp.where(alpha_bits == 3, 3, 7))
+    # Weight = floor((64*idx + c)/d): hoist the multiply-shift magic
+    # per block (the 2/3/4-bit variants share one (mul, shift, cadd)
+    # triple selected here, not per pixel).
+    def wmagic(bits):
+        mul = jnp.where(bits == 2, 683, jnp.where(bits == 3, 9363, 34953))
+        sh = jnp.where(bits == 2, 11, jnp.where(bits == 3, 16, 19))
+        c = jnp.where(bits == 2, 1, jnp.where(bits == 3, 3, 7))
+        return mul, sh, c
 
-    def weight(idx, bits, cadd):
-        a = 64 * idx + cadd
-        w2 = _shr(a * 683, 11)
-        w3 = _shr(a * 9363, 16)
-        w4 = _shr(a * 34953, 19)
-        return jnp.where(bits == 2, w2, jnp.where(bits == 3, w3, w4))
+    wc_mul, wc_sh, wc_c = wmagic(color_bits)
+    wa_mul, wa_sh, wa_c = wmagic(alpha_bits)
 
     full_p = _vmask(ib)
     anch_p = _vmask(ib - 1)
     full_s = _vmask(ib2)
     anch_s = _vmask(jnp.maximum(ib2 - 1, 0))
 
+    # Pre-align two 64-bit windows at the stream starts: per-pixel
+    # offsets (ib*i - before <= 60) then need only a 2-way word pick
+    # (replaces the serial bit cursor of decompress-bptc.c:400-480).
+    p_lo, p_hi = window64(index_start)
+    s_lo, s_hi = window64(sec_start)
+    sel_ci = has_sec & isb_on
+
     # --- 16 pixels -------------------------------------------------------
+    ibi = jnp.zeros_like(ib)
+    ib2i = jnp.zeros_like(ib2)
     for i in range(16):
         subset = _shr(sub32, 2 * i) & 3
         before = _shr(bef32, 2 * i) & 3
         is_anchor = (_shr(anc16, i) & 1) != 0
 
-        prim = dynf(index_start + ib * i - before, 4) \
+        off_p = ibi - before
+        hi_p = off_p >= 32
+        prim = funnel(jnp.where(hi_p, p_hi, p_lo),
+                      jnp.where(hi_p, 0, p_hi), off_p & 31) \
             & jnp.where(is_anchor, anch_p, full_p)
-        sec = dynf(sec_start + ib2 * i - before, 4) \
+        off_s = ib2i - before
+        hi_s = off_s >= 32
+        sec = funnel(jnp.where(hi_s, s_hi, s_lo),
+                     jnp.where(hi_s, 0, s_hi), off_s & 31) \
             & jnp.where(is_anchor, anch_s, full_s)
+        if i < 15:
+            ibi = ibi + ib
+            ib2i = ib2i + ib2
 
-        color_idx = jnp.where(has_sec & isb_on, sec, prim)
+        color_idx = jnp.where(sel_ci, sec, prim)
         alpha_idx = jnp.where(has_sec,
                               jnp.where(isb_on, prim, sec), prim)
-        w_c = weight(color_idx, color_bits, wc_c)
-        w_a = weight(alpha_idx, alpha_bits, wa_c)
+        w_c = _shr((_shl(color_idx, 6) + wc_c) * wc_mul, wc_sh)
+        w_a = _shr((_shl(alpha_idx, 6) + wa_c) * wa_mul, wa_sh)
 
         def sel_subset(pairs, k):
             return jnp.where(subset == 1, pairs[1][k],

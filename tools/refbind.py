@@ -121,6 +121,10 @@ class Reference:
         self.lib.detexSetHDRParameters.restype = None
         self.lib.detexSetHDRParameters.argtypes = [
             ctypes.c_float, ctypes.c_float, ctypes.c_float]
+        self.lib.detexSaveKTXFileWithMipmaps.restype = ctypes.c_bool
+        self.lib.detexSaveKTXFileWithMipmaps.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(DetexTexture)), ctypes.c_int,
+            ctypes.c_char_p]
 
     # -- per-block decode ---------------------------------------------------
     def decode_blocks(self, family: str, blocks: np.ndarray,
@@ -186,6 +190,28 @@ class Reference:
                 f"reference decompress failed: "
                 f"{self.lib.detexGetErrorMessage().decode()}")
         return out
+
+    def save_ktx(self, tex_format: int, data: np.ndarray, width: int,
+                 height: int, path: str) -> None:
+        """detexSaveKTXFileWithMipmaps for a single-level texture."""
+        from detex_tpu import formats as F
+        tex = DetexTexture()
+        tex.format = tex_format
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        tex.data = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        tex.width, tex.height = width, height
+        if F.is_compressed(tex_format):
+            tex.width_in_blocks = (width + 3) // 4
+            tex.height_in_blocks = (height + 3) // 4
+        else:
+            tex.width_in_blocks = tex.height_in_blocks = 0
+        texp = ctypes.pointer(tex)
+        arr = (ctypes.POINTER(DetexTexture) * 1)(texp)
+        ok = self.lib.detexSaveKTXFileWithMipmaps(arr, 1, path.encode())
+        if not ok:
+            raise RuntimeError(
+                f"reference save failed: "
+                f"{self.lib.detexGetErrorMessage().decode()}")
 
     def convert_pixels(self, src: np.ndarray, n_pixels: int, src_fmt: int,
                        dst_fmt: int) -> np.ndarray:
