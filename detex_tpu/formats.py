@@ -96,6 +96,9 @@ FLOAT_RGBA16_HDR = _pf(COMPONENT_16BIT, HAS_ALPHA, FOUR_COMPONENTS,
 
 FLOAT_BGRX16 = _pf(COMPONENT_16BIT, ORDER_BGR, THREE_COMPONENTS,
                    PIXEL_64BIT, FLOAT)
+FLOAT_BGRX16_HDR = FLOAT_BGRX16 | HDR
+SIGNED_FLOAT_RGBX16 = FLOAT_RGBX16 | SIGNED
+SIGNED_FLOAT_BGRX16 = FLOAT_BGRX16 | SIGNED
 
 FLOAT_R32 = _pf(COMPONENT_32BIT, ONE_COMPONENT, PIXEL_32BIT, FLOAT)
 FLOAT_RG32 = _pf(COMPONENT_32BIT, TWO_COMPONENTS, PIXEL_64BIT, FLOAT)

@@ -77,9 +77,22 @@ def load_ktx(filename: str, max_mipmaps: int = 32) -> List[Texture]:
     return textures
 
 
-def save_ktx(textures: List[Texture], filename: str) -> None:
+# KTXorientation metadata values (reference ktx.c:190-204).
+ORIENTATION_DOWN = 1
+ORIENTATION_UP = 2
+
+_ORIENTATION_KEY = {
+    ORIENTATION_DOWN: b"KTXorientation\x00S=r,T=d\x00\x00",
+    ORIENTATION_UP: b"KTXorientation\x00S=r,T=u\x00\x00",
+}
+
+
+def save_ktx(textures: List[Texture], filename: str,
+             orientation: int = 0) -> None:
     """Save a .ktx file (reference detexSaveKTXFileWithMipmaps,
-    ktx.c:207-327)."""
+    ktx.c:207-327).  `orientation`: 0 = no metadata (the reference's
+    compiled-in default, ktx.c:242), ORIENTATION_DOWN/UP write the
+    28-byte KTXorientation key block (ktx.c:252-272)."""
     info = registry.by_format(textures[0].format)
     if info is None or not info.ktx_support:
         raise TextureFileError(
@@ -97,9 +110,12 @@ def save_ktx(textures: List[Texture], filename: str) -> None:
     header[11] = 0
     header[13] = 1                       # faces
     header[14] = len(textures)
-    header[15] = 0                       # no key/value metadata
+    header[15] = 28 if orientation else 0   # key/value metadata bytes
     hb = header.tobytes()
     out = bytearray(header_bytes[:12] + hb[12:])
+    if orientation:
+        out += struct.pack("<I", 27)     # key+value size (ktx.c:258)
+        out += _ORIENTATION_KEY[orientation]
     for tex in textures:
         fmt = tex.format
         pixel_size = F.pixel_size(fmt)

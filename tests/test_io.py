@@ -129,3 +129,31 @@ def test_extension_dispatch():
     assert texs[0].format == F.BC1
     with pytest.raises(tio.TextureFileError):
         tio.load_texture_file("nope.xyz")
+
+
+def test_ktx_orientation_metadata(tmp_path):
+    """KTXorientation key block (reference ktx.c:190-272): written
+    when requested, skipped transparently by both readers."""
+    from detex_tpu.io.ktx import ORIENTATION_DOWN, load_ktx, save_ktx
+    from detex_tpu.texture import Texture
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 256, 8 * 8 * 4, np.uint8)
+    tex = Texture(F.RGBA8, data, 8, 8, 0, 0)
+    path = tmp_path / "o.ktx"
+    save_ktx([tex], str(path), orientation=ORIENTATION_DOWN)
+    raw = path.read_bytes()
+    assert raw[60:64] == (28).to_bytes(4, "little")   # header[15]
+    assert b"KTXorientation" in raw[:96]
+    back = load_ktx(str(path))[0]
+    np.testing.assert_array_equal(back.data, data)
+
+
+def test_named_signed_float_constants():
+    """detex.h:284-306 named constants exist with the reference's
+    bit-encoded values."""
+    assert F.FLOAT_BGRX16_HDR == (F.FLOAT_BGRX16 | 0x4000)
+    assert F.SIGNED_FLOAT_RGBX16 == (F.FLOAT_RGBX16 | 0x1000)
+    assert F.SIGNED_FLOAT_BGRX16 == (F.FLOAT_BGRX16 | 0x1000)
+    from detex_tpu import formats as FF
+    assert FF.texture_pixel_format(FF.BPTC_SIGNED_FLOAT) \
+        == FF.SIGNED_FLOAT_RGBX16
