@@ -130,3 +130,42 @@ class Controller:
         action, self.nominal, self.diag = self._step(
             self.params, self.nominal, sub, obs_words, self.goal_z)
         return np.asarray(action)
+
+
+class PipelinedController(Controller):
+    """One-step software pipeline over the control loop (SURVEY §2.2
+    PP row: decode -> encode -> rollout overlap).
+
+    JAX dispatch is asynchronous: `_step(...)` enqueues the fused
+    device program and returns immediately.  This controller exploits
+    that by returning the action planned from the PREVIOUS
+    observation: while the caller actuates it (and produces the next
+    observation), the device is already decoding + planning on the
+    current one — the obs upload, BC7 decode, encode, and rollouts all
+    hide behind the consumer's own step time.  The returned action
+    lags one control period, the standard latency/throughput trade of
+    a pipelined controller; the plan itself is identical to the
+    synchronous controller's (test_mpc asserts this).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._pending_action = None
+
+    def step(self, obs_words) -> Optional[np.ndarray]:
+        """Dispatch planning on `obs_words`; return the action from
+        the previous observation (None on the first call — nothing is
+        in flight yet)."""
+        self.key, sub = jax.random.split(self.key)
+        obs_dev = jax.device_put(obs_words)    # async H2D upload
+        action, self.nominal, self.diag = self._step(
+            self.params, self.nominal, sub, obs_dev, self.goal_z)
+        prev, self._pending_action = self._pending_action, action
+        # np.asarray blocks only until the *previous* step finished —
+        # it has had a full control period of overlap to run.
+        return None if prev is None else np.asarray(prev)
+
+    def flush(self) -> np.ndarray:
+        """Drain the pipeline: block for the in-flight action."""
+        prev, self._pending_action = self._pending_action, None
+        return None if prev is None else np.asarray(prev)

@@ -161,3 +161,39 @@ def test_mppi_sharded_over_mesh():
     np.testing.assert_allclose(np.asarray(sharded_out),
                                np.asarray(plain_out), rtol=2e-5,
                                atol=2e-6)
+
+
+def test_pipelined_controller_matches_synchronous():
+    """PipelinedController returns the synchronous controller's actions
+    with exactly one step of lag (same keys, same plans) — the overlap
+    changes latency, never the computation (SURVEY §2.2 PP row)."""
+    import numpy as np
+
+    from detex_tpu.mpc import dynamics as D
+    from detex_tpu.mpc import mppi as M
+    from detex_tpu.mpc.runtime import (Controller, ControllerConfig,
+                                       PipelinedController)
+
+    dcfg = D.DynamicsConfig(image_size=16, conv_features=(8, 16),
+                            latent_dim=16, action_dim=4, hidden_dim=32)
+    cfg = ControllerConfig(
+        dynamics=dcfg,
+        mppi=M.MPPIConfig(n_rollouts=32, horizon=4, action_dim=4))
+    params = D.init_params(jax.random.PRNGKey(0), dcfg)
+    goal = jnp.zeros((dcfg.latent_dim,), jnp.float32)
+    rng = np.random.default_rng(0)
+    n_blocks = (dcfg.image_size // 4) ** 2
+    obs_seq = [rng.integers(-2**31, 2**31, (n_blocks, 4),
+                            np.int64).astype(np.int32)
+               for _ in range(4)]
+
+    sync = Controller(params, goal, cfg, seed=7)
+    pipe = PipelinedController(params, goal, cfg, seed=7)
+
+    sync_actions = [sync.step(o) for o in obs_seq]
+    pipe_actions = [pipe.step(o) for o in obs_seq]
+    assert pipe_actions[0] is None
+    for t in range(1, len(obs_seq)):
+        np.testing.assert_array_equal(pipe_actions[t],
+                                      sync_actions[t - 1])
+    np.testing.assert_array_equal(pipe.flush(), sync_actions[-1])

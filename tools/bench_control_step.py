@@ -76,12 +76,57 @@ def bench(cfg: ControllerConfig) -> float:
     return dt / (ITERS_HI - ITERS_LO)
 
 
+def bench_wallclock(cfg: ControllerConfig, pipelined: bool,
+                    n_steps: int = 100) -> float:
+    """Host-in-the-loop seconds per control step: each step() call
+    uploads a fresh observation and (sync) blocks for the action or
+    (pipelined) blocks only for the previous step's action — measuring
+    how much of the device time the one-step pipeline hides
+    (SURVEY §2.2 PP row).  Includes per-dispatch transport overhead,
+    so absolute numbers depend on how the chip is attached."""
+    from detex_tpu.mpc.runtime import Controller, PipelinedController
+    dcfg = cfg.dynamics
+    params = D.init_params(jax.random.PRNGKey(0), dcfg)
+    goal = jnp.zeros((dcfg.latent_dim,), jnp.float32)
+    rng = np.random.default_rng(0)
+    n_blocks = (dcfg.image_size // 4) ** 2
+    obs = [rng.integers(-2**31, 2**31, (n_blocks, 4), np.int64)
+           .astype(np.int32) for _ in range(8)]
+    ctl_cls = PipelinedController if pipelined else Controller
+    ctl = ctl_cls(params, goal, cfg, seed=0)
+    for i in range(4):                      # warm (compile)
+        ctl.step(obs[i % 8])
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        ctl.step(obs[i % 8])
+    if pipelined:
+        ctl.flush()
+    return (time.perf_counter() - t0) / n_steps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ilqr", type=int, nargs="*", default=[0, 2])
     ap.add_argument("--rollouts", type=int, default=8192)
     ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--wallclock", action="store_true",
+                    help="host-in-the-loop sync vs pipelined steps/s")
     args = ap.parse_args()
+
+    if args.wallclock:
+        cfg = ControllerConfig(
+            mppi=M.MPPIConfig(n_rollouts=args.rollouts,
+                              horizon=args.horizon, action_dim=8))
+        for pipelined in (False, True):
+            dt = bench_wallclock(cfg, pipelined)
+            print(json.dumps({
+                "metric": "control_step_wallclock_ms",
+                "pipelined": pipelined,
+                "ms_per_step": round(dt * 1e3, 3),
+                "steps_per_s": round(1.0 / dt, 1),
+                "platform": jax.devices()[0].platform,
+            }), flush=True)
+        return
 
     for n_ilqr in args.ilqr:
         variants = [(False, "seq")] if n_ilqr == 0 else \
