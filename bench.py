@@ -32,13 +32,18 @@ N_ITERS_LO = 50
 N_ITERS_HI = 1050
 
 
-def bench_ours(blocks_u8: np.ndarray) -> float:
+def bench_ours(blocks_u8: np.ndarray):
     """Pallas fused BC7 kernel, planar layout.
 
     All N_ITERS decodes run inside ONE jitted fori_loop whose scalar
     result is fetched to the host: remote/async dispatch cannot fake
     the timing (device sync is forced by the fetch), and XLA cannot
     CSE the iterations because each one perturbs the input words.
+
+    The block tile is autotuned over {128, 256, 512} (the optimum is
+    machine-sensitive — register pressure vs grid overhead) and the
+    per-repetition spread is returned so run-to-run variance is
+    visible in the recorded number.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -51,25 +56,34 @@ def bench_ours(blocks_u8: np.ndarray) -> float:
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames="iters")
-    def run(wp, iters):
+    @functools.partial(jax.jit, static_argnames=("iters", "tile"))
+    def run(wp, iters, tile):
         def body(i, acc):
             pix, valid = bptc_pallas.decode_bptc_planar(
-                wp ^ i, interpret=False)
+                wp ^ i, tile=tile, interpret=False)
             return acc ^ pix[0, 0] ^ valid[0].astype(jnp.int32)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    def timed(iters):
-        int(run(words_planar, iters))             # compile + warm
-        best = float("inf")
+    def timed(iters, tile):
+        int(run(words_planar, iters, tile))       # compile + warm
+        reps = []
         for _ in range(3):
             t0 = time.perf_counter()
-            int(run(words_planar, iters))         # fetch forces true sync
-            best = min(best, time.perf_counter() - t0)
-        return best
+            int(run(words_planar, iters, tile))   # fetch forces sync
+            reps.append(time.perf_counter() - t0)
+        return reps
 
-    dt = timed(N_ITERS_HI) - timed(N_ITERS_LO)
-    return blocks_u8.shape[0] * (N_ITERS_HI - N_ITERS_LO) / dt
+    n = blocks_u8.shape[0]
+    results = {}
+    for tile in (128, 256, 512):
+        lo = min(timed(N_ITERS_LO, tile))
+        his = timed(N_ITERS_HI, tile)
+        rates = [n * (N_ITERS_HI - N_ITERS_LO) / (h - lo) for h in his]
+        results[tile] = (max(rates), min(rates))
+    best_tile = max(results, key=lambda t: results[t][0])
+    best, worst = results[best_tile]
+    return best, {"tile": best_tile,
+                  "spread_pct": round(100 * (best - worst) / best, 2)}
 
 
 def bench_reference(blocks_u8: np.ndarray) -> float:
@@ -105,7 +119,7 @@ def main():
                     | (blocks[:, 0] & (0xFF << (modes + 1)))).astype(
                         np.uint8)
 
-    ours = bench_ours(blocks)
+    ours, detail = bench_ours(blocks)
     baseline = bench_reference(blocks)
     vs = ours / baseline if baseline > 0 else 0.0
     print(json.dumps({
@@ -113,6 +127,8 @@ def main():
         "value": round(ours, 1),
         "unit": "blocks/s",
         "vs_baseline": round(vs, 3),
+        "tile": detail["tile"],
+        "spread_pct": detail["spread_pct"],
     }))
 
 

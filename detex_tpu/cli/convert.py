@@ -47,9 +47,13 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--input-format")
     p.add_argument("-d", "--decompress", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
-    p.add_argument("--backend", choices=("jax", "native"), default="jax",
-                   help="decode backend: jax (device; Pallas on TPU) or "
-                        "native (multithreaded C++ host runtime)")
+    p.add_argument("--backend", choices=("device", "jax", "native"),
+                   default="device",
+                   help="decode backend: device (fully-fused decode+"
+                        "convert+assemble in one jit; falls back to "
+                        "host conversion where unsupported), jax "
+                        "(device decode, host conversion), or native "
+                        "(multithreaded C++ host runtime)")
     p.add_argument("input_file")
     p.add_argument("output_file")
     args = p.parse_args(argv)

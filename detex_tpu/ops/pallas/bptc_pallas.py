@@ -449,7 +449,9 @@ def decode_bptc_auto(words, mode_mask: int = _FULL, flags: int = 0):
     kernel on TPU (the pure-XLA path is gather-bound there), the jnp
     single-pass decoder elsewhere."""
     if jax.default_backend() == "tpu":
-        tile = 512 if words.shape[0] >= 8 * 512 else 128
+        # tile=256 is the measured sweet spot on v5e (register
+        # pressure vs grid overhead; see PROFILE.md tile sweep).
+        tile = 256 if words.shape[0] >= 8 * 256 else 128
         return decode_bptc(words, mode_mask, flags, tile=tile,
                            interpret=False)
     from detex_tpu.ops import bptc_fast as _bf
