@@ -590,10 +590,13 @@ def decode_eac_signed_rg11(words, mode_mask=_FULL, flags=0, **kw):
     return _split_rg(pix, True), valid
 
 
-def _auto(pallas_fn, jnp_fn):
+def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
+    """best_tile: measured v5e sweet spot per family (PROFILE.md tile
+    sweep — register pressure vs grid overhead differs with kernel
+    complexity: ETC2 peaks at 128, ETC2_EAC at 256)."""
     def fn(words, mode_mask=_FULL, flags=0):
         if jax.default_backend() == "tpu":
-            tile = 512 if words.shape[0] >= 8 * 512 else 128
+            tile = best_tile if words.shape[0] >= 8 * best_tile else 128
             return pallas_fn(words, mode_mask, flags, tile=tile,
                              interpret=False)
         return jnp_fn(words, mode_mask, flags)
@@ -601,10 +604,12 @@ def _auto(pallas_fn, jnp_fn):
 
 
 decode_etc1_auto = _auto(decode_etc1, ETCJ.decode_etc1)
-decode_etc2_auto = _auto(decode_etc2, ETCJ.decode_etc2)
+decode_etc2_auto = _auto(decode_etc2, ETCJ.decode_etc2, best_tile=128)
 decode_etc2_punchthrough_auto = _auto(decode_etc2_punchthrough,
-                                      ETCJ.decode_etc2_punchthrough)
-decode_etc2_eac_auto = _auto(decode_etc2_eac, ETCJ.decode_etc2_eac)
+                                      ETCJ.decode_etc2_punchthrough,
+                                      best_tile=128)
+decode_etc2_eac_auto = _auto(decode_etc2_eac, ETCJ.decode_etc2_eac,
+                             best_tile=256)
 decode_eac_r11_auto = _auto(decode_eac_r11, EACJ.decode_eac_r11)
 decode_eac_signed_r11_auto = _auto(decode_eac_signed_r11,
                                    EACJ.decode_eac_signed_r11)
