@@ -181,6 +181,17 @@ def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
     packed = (kind == "u32" and src_fmt in _packed32_fmts()
               and pixel_format in _packed32_fmts())
 
+    def assemble(tiles):
+        """(hb, wb, 4, 4, lanes) tiles -> (H, W, lanes) linear image.
+        Slice-per-pixel-row + concat instead of a transpose: measured
+        26x faster on TPU (XLA lowers the (0,2,1,3) transpose of the
+        small inner dims to a ~10 GB/s relayout; the four strided
+        row-slices run at HBM speed — see PROFILE.md)."""
+        rows = [tiles[:, :, py, :, :].reshape(hb, 1, wb * 4, -1)
+                for py in range(4)]
+        img = jnp.concatenate(rows, axis=1).reshape(hb * 4, wb * 4, -1)
+        return img[:height, :width]
+
     def pipeline(words, mode_mask, flags):
         pix, valid = dec_fn(words, mode_mask, flags)
         n_blocks = valid.shape[0]
@@ -190,19 +201,14 @@ def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
                 v = ((v & 0xFF) << 16) | (v & jnp.uint32(0xFF00FF00)) \
                     | ((v >> 16) & 0xFF)
             v = jnp.where(valid[:, None], v, jnp.uint32(0))
-            img = v.reshape(hb, wb, 4, 4).transpose(0, 2, 1, 3) \
-                .reshape(hb * 4, wb * 4, 1)
-            return img[:height, :width]
+            return assemble(v.reshape(hb, wb, 4, 4, 1))
         typed = _native_to_typed(idx, pix)
         conv = CD.convert_pixels_device(typed, src_fmt, pixel_format)
         conv = conv.reshape(n_blocks, 16, lanes)
         # Invalid blocks zero in the *target* format (texture.c:125-127).
         conv = jnp.where(valid[:, None, None], conv,
                          jnp.zeros((), conv.dtype))
-        tiles = conv.reshape(hb, wb, 4, 4, lanes)
-        img = tiles.transpose(0, 2, 1, 3, 4).reshape(hb * 4, wb * 4,
-                                                     lanes)
-        return img[:height, :width]
+        return assemble(conv.reshape(hb, wb, 4, 4, lanes))
 
     return jax.jit(pipeline)
 

@@ -44,10 +44,15 @@ class ControllerConfig:
 
 def unpack_rgba8_image(packed: jnp.ndarray, height: int,
                        width: int) -> jnp.ndarray:
-    """(N_blocks, 16) packed RGBA8 int32 -> (H, W, 4) int32 0..255."""
+    """(N_blocks, 16) packed RGBA8 int32 -> (H, W, 4) int32 0..255.
+
+    The tiled->linear relayout is four strided row-slices + concat
+    rather than a transpose of the small inner dims — 26x faster on
+    TPU (PROFILE.md relayout measurements)."""
     hb, wb = height // 4, width // 4
-    img = packed.reshape(hb, wb, 4, 4).transpose(0, 2, 1, 3) \
-        .reshape(height, width)
+    x = packed.reshape(hb, wb, 4, 4)
+    rows = [x[:, :, py, :].reshape(hb, 1, wb * 4) for py in range(4)]
+    img = jnp.concatenate(rows, axis=1).reshape(height, width)
     r = jnp.bitwise_and(img, 0xFF)
     g = jnp.bitwise_and(img >> 8, 0xFF)
     b = jnp.bitwise_and(img >> 16, 0xFF)
