@@ -41,7 +41,9 @@ def main(argv=None) -> int:
     # cairo wants it; PNG wants RGBA).
     if F.is_compressed(tex.format) or tex.format != F.RGBA8:
         try:
-            pixels = engine.decompress_texture_linear(tex, F.RGBA8)
+            backend = "device" if F.is_compressed(tex.format) else "jax"
+            pixels = engine.decompress_texture_linear(tex, F.RGBA8,
+                                                      backend=backend)
         except Exception:
             # HDR/float formats: map via the HDR pipeline to RGBX16
             from detex_tpu import convert as C
