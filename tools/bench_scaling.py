@@ -95,12 +95,66 @@ def bench_one(n_dev: int, cfg: mppi.MPPIConfig, dcfg: D.DynamicsConfig,
     return best / iters
 
 
+def bench_lqt(n_dev: int, h: int, n: int, m: int, iters: int) -> float:
+    """Seconds per horizon-sharded parallel-LQT backward (the
+    long-context analogue, SURVEY §7 hard part 4): the H+1 value
+    elements shard over the 'sp' mesh axis; communication is one
+    all_gather of n_dev chunk totals regardless of H."""
+    from jax.sharding import Mesh as _Mesh
+
+    from detex_tpu.mpc import parallel_lqr as plqr
+
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(np.eye(n) + 0.02 * rng.standard_normal((h, n, n)),
+                    jnp.float32)
+    l = jnp.asarray(0.2 * rng.standard_normal((h, n, m)), jnp.float32)
+    c = jnp.asarray(0.1 * rng.standard_normal((h, n)), jnp.float32)
+    q = jnp.asarray(np.broadcast_to(np.eye(n), (h, n, n)), jnp.float32)
+    qv = jnp.asarray(rng.standard_normal((h, n)), jnp.float32)
+    r = jnp.asarray(np.broadcast_to(np.eye(m), (h, m, m)), jnp.float32)
+    rv = jnp.asarray(rng.standard_normal((h, m)), jnp.float32)
+    mm = jnp.zeros((h, m, n), jnp.float32)
+    pt = jnp.asarray(2.0 * np.eye(n), jnp.float32)
+    pv = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    prob = (f, l, c, q, qv, r, rv, mm, pt, pv)
+
+    if n_dev == 1:
+        fn = jax.jit(lambda *a: plqr.lqt_backward_parallel(*a))
+    else:
+        mesh = _Mesh(np.array(jax.devices()[:n_dev]).reshape(n_dev),
+                     ("sp",))
+        fn = jax.jit(lambda *a, _m=mesh:
+                     plqr.lqt_backward_parallel_sharded(*a, mesh=_m,
+                                                        axis="sp"))
+
+    @jax.jit
+    def run(cv, k):
+        def body(i, acc):
+            p, eta = fn(f, l, cv + acc * 0, q, qv, r, rv, mm, pt, pv)
+            return acc + eta[0, 0]
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    float(run(c, iters))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(run(c, iters))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rollouts", type=int, default=8192)
     ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--lqt", action="store_true",
+                    help="bench the horizon-sharded parallel-LQT "
+                         "backward instead of MPPI")
+    ap.add_argument("--lqt-horizon", type=int, default=4096)
+    ap.add_argument("--state-dim", type=int, default=16)
+    ap.add_argument("--action-dim", type=int, default=8)
     ap.add_argument("--hidden", type=int, default=0,
                     help="dynamics hidden dim (0 = 512 on TPU, 256 on "
                          "the virtual CPU mesh)")
@@ -109,6 +163,25 @@ def main():
     on_cpu = jax.devices()[0].platform == "cpu"
     counts = [int(c) for c in args.devices.split(",")
               if int(c) <= len(jax.devices())]
+
+    if args.lqt:
+        rows = []
+        t1 = None
+        for n in counts:
+            dt = bench_lqt(n, args.lqt_horizon, args.state_dim,
+                           args.action_dim, args.iters)
+            if t1 is None:
+                t1 = dt
+            eff = t1 / dt / (n / counts[0])
+            rows.append({"devices": n,
+                         "ms_per_backward": round(dt * 1e3, 3),
+                         "efficiency_vs_linear": round(eff, 3)})
+            print(json.dumps(rows[-1]), flush=True)
+        print(json.dumps({"platform": jax.devices()[0].platform,
+                          "metric": "lqt_backward_horizon_sharded",
+                          "horizon": args.lqt_horizon,
+                          "state_dim": args.state_dim, "rows": rows}))
+        return
     cfg = mppi.MPPIConfig(n_rollouts=args.rollouts, horizon=args.horizon,
                           action_dim=8)
     # North-star rollout shapes always; on the virtual CPU mesh shrink
