@@ -71,16 +71,16 @@ def sustained(fn, x):
 
 # kernel -> (planar decode fn, block bytes, output bytes per block)
 KERNELS = {
-    "BC7": (functools.partial(bptc_pallas.decode_bptc_planar, tile=512),
+    "BC7": (functools.partial(bptc_pallas.decode_bptc_planar, tile=256),
             16, 64 + 4),
     "BC6H": (functools.partial(bptc_float_pallas.decode_bptc_float_planar,
                                tile=256), 16, 48 * 4 + 4),
     "ETC1": (functools.partial(etc_eac_pallas.decode_etc1_planar, tile=512),
              8, 64 + 4),
-    "ETC2": (functools.partial(etc_eac_pallas.decode_etc2_planar, tile=512),
+    "ETC2": (functools.partial(etc_eac_pallas.decode_etc2_planar, tile=128),
              8, 64 + 4),
     "ETC2_EAC": (functools.partial(etc_eac_pallas.decode_etc2_eac_planar,
-                                   tile=512), 16, 64 + 4),
+                                   tile=256), 16, 64 + 4),
     "EAC_R11": (functools.partial(etc_eac_pallas.decode_eac_r11_planar,
                                   tile=512), 8, 64 + 4),
     "EAC_RG11": (functools.partial(etc_eac_pallas.decode_eac_rg11_planar,
