@@ -67,7 +67,7 @@ def bench_ours(blocks_u8: np.ndarray):
     def timed(iters, tile):
         int(run(words_planar, iters, tile))       # compile + warm
         reps = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             int(run(words_planar, iters, tile))   # fetch forces sync
             reps.append(time.perf_counter() - t0)
@@ -84,6 +84,49 @@ def bench_ours(blocks_u8: np.ndarray):
     best, worst = results[best_tile]
     return best, {"tile": best_tile,
                   "spread_pct": round(100 * (best - worst) / best, 2)}
+
+
+def witness_correctness(blocks_u8: np.ndarray) -> str:
+    """Bit-compare ONE full batch from the compiled device kernel
+    against the C reference oracle before any timing runs, so every
+    recorded BENCH number is also a hardware-correctness witness
+    (reference analogue: validate.c:188-222's role).
+
+    Returns "ok", "skipped (no oracle)", or raises on miscompare.
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    from detex_tpu.ops.pallas import bptc_pallas
+    from detex_tpu.ops.bitops import words_from_bytes
+
+    try:
+        from refbind import Reference
+        ref = Reference()
+    except Exception as e:
+        return f"skipped (no oracle: {e})"
+
+    words_planar = jax.device_put(
+        np.asarray(words_from_bytes(blocks_u8)).T.copy())
+    pix, valid = jax.jit(
+        lambda wp: bptc_pallas.decode_bptc_planar(wp, interpret=False)
+    )(words_planar)
+    ours = np.asarray(pix).T.astype(np.uint32).view(np.uint8) \
+        .reshape(blocks_u8.shape[0], 64)
+    ours_valid = np.asarray(valid)
+    want, want_valid = ref.decode_blocks("BPTC", blocks_u8)
+    if not np.array_equal(ours_valid, want_valid):
+        raise AssertionError(
+            f"BC7 valid-mask miscompare on device: "
+            f"{np.sum(ours_valid != want_valid)} blocks differ")
+    # Invalid blocks are zero-filled by the oracle (texture.c:90-93);
+    # compare pixels only where the block decoded.
+    bad = np.nonzero(np.any(ours[want_valid] != want[want_valid], axis=1))[0]
+    if bad.size:
+        raise AssertionError(
+            f"BC7 pixel miscompare on device: {bad.size} of "
+            f"{int(want_valid.sum())} valid blocks differ "
+            f"(first block index {bad[0]})")
+    return "ok"
 
 
 def bench_reference(blocks_u8: np.ndarray) -> float:
@@ -119,6 +162,7 @@ def main():
                     | (blocks[:, 0] & (0xFF << (modes + 1)))).astype(
                         np.uint8)
 
+    correctness = witness_correctness(blocks)
     ours, detail = bench_ours(blocks)
     baseline = bench_reference(blocks)
     vs = ours / baseline if baseline > 0 else 0.0
@@ -129,6 +173,7 @@ def main():
         "vs_baseline": round(vs, 3),
         "tile": detail["tile"],
         "spread_pct": detail["spread_pct"],
+        "correctness": correctness,
     }))
 
 

@@ -35,9 +35,14 @@ Exact-rounding notes:
     reference does (-Ofast/-ffast-math links crtfastmath.o and sets
     FTZ+DAZ, Makefile:16).  The bit-level paths (clamp01, the u16
     quantizer, f16<->f32) are exact for ALL inputs incl. denormals.
-  * The HDR gamma!=1 path uses glibc powf (hdr.c:55-60); that is host
-    LUT territory — those edges report unsupported and the texture
-    engine falls back to the host converter.
+  * The HDR gamma!=1 half path uses glibc powf through a 65536-entry
+    gamma-corrected table (hdr.c:46-60); since the whole half->u16 map
+    is a pure function of the 16-bit input, the composed output LUT is
+    built once on the host with the bit-exact oracle and shipped to
+    the device as a u16 gather table.  The f32 gamma!=1 path maps raw
+    values against pow-corrected endpoints (hdr.c:188-206) — plain
+    FE_TONEAREST f32 arithmetic, native on device.  Every one of the
+    73 conversion edges now runs on device for ALL HDR parameters.
 """
 
 from __future__ import annotations
@@ -231,6 +236,16 @@ def _nextbelow_f32_bits(bits):
     return jnp.where(mag0, jnp.uint32(0x80000001), stepped)
 
 
+def _fix_pos_overflow(res, a, b):
+    """FE_DOWNWARD positive overflow from finite inputs yields
+    +FLT_MAX, not +inf (the TwoSum/Dekker residual is NaN there, so
+    the step-down test cannot fire; ADVICE r2)."""
+    finite_in = jnp.isfinite(a) & jnp.isfinite(b)
+    pos_inf = res == jnp.float32(np.inf)
+    return jnp.where(finite_in & pos_inf,
+                     jnp.float32(np.finfo(np.float32).max), res)
+
+
 def down_sub(a, b):
     """f32 a - b rounded toward -inf (one FE_DOWNWARD subtraction).
     TwoSum gives the exact residual of the round-to-nearest result;
@@ -242,7 +257,7 @@ def down_sub(a, b):
     sbits = jax.lax.bitcast_convert_type(s, jnp.uint32)
     down = jax.lax.bitcast_convert_type(_nextbelow_f32_bits(sbits),
                                         jnp.float32)
-    return jnp.where(err < 0, down, s)
+    return _fix_pos_overflow(jnp.where(err < 0, down, s), a, b)
 
 
 def _split_f32(x):
@@ -262,7 +277,7 @@ def down_mul(a, b):
     pbits = jax.lax.bitcast_convert_type(p, jnp.uint32)
     down = jax.lax.bitcast_convert_type(_nextbelow_f32_bits(pbits),
                                         jnp.float32)
-    return jnp.where(err < 0, down, p)
+    return _fix_pos_overflow(jnp.where(err < 0, down, p), a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -393,27 +408,69 @@ def _k_rgb32_to_rgbx32(a):
     return jnp.concatenate([a, one], axis=1)
 
 
+@functools.lru_cache(maxsize=8)
+def _gamma_u16_lut(gamma: float, rmin: float, rmax: float) -> np.ndarray:
+    """Full 65536-entry f16-bits -> u16 output table for gamma != 1.
+
+    The reference's special-gamma half path is a pure function of the
+    16-bit input and the HDR params (a gamma-corrected LUT feeding a
+    range map, hdr.c:46-60, 143-166); precompute the WHOLE composition
+    on the host with the bit-exact oracle and gather on device."""
+    bits = np.arange(65536, dtype=np.uint16)
+    return np.asarray(hdr_mod.hdr_half_to_u16(
+        bits, hdr_mod.HDRParams(gamma, rmin, rmax)))
+
+
 class _HDREdge:
-    """HDR edges depend on runtime HDR params; gamma==1 is supported
-    on device, gamma!=1 (glibc powf table) is not.  Instances are
-    callables resolved with the *current* params at trace time."""
+    """HDR edges depend on runtime HDR params, resolved at trace time.
+
+    gamma == 1: FE_DOWNWARD range map emulated in limb arithmetic.
+    gamma != 1, f16 -> u16: device-resident 65536-entry u16 LUT gather
+      (the reference's gamma-corrected table composed with the range
+      map + quantizer, hdr.c:46-60, 143-166).
+    gamma != 1, f32 -> f32: the reference maps the RAW value against
+      pow-corrected range endpoints at FE_TONEAREST (hdr.c:188-206) —
+      plain f32 arithmetic, native on device."""
 
     def __init__(self, kind):
         self.kind = kind  # "f16_to_u16" | "f32_to_f32"
 
     def supported(self) -> bool:
-        return hdr_mod.get_hdr_parameters().gamma == 1.0
+        return True
 
     def __call__(self, a):
         p = hdr_mod.get_hdr_parameters()
         if p.gamma != 1.0:
-            raise ConversionError("device HDR path requires gamma == 1")
+            if self.kind == "f16_to_u16":
+                lut = jnp.asarray(_gamma_u16_lut(p.gamma, p.range_min,
+                                                 p.range_max))
+                return lut[a.astype(jnp.int32)]
+            return _hdr_map_gamma_f32_bits(a, p)
         if self.kind == "f16_to_u16":
             fb = f16_bits_to_f32_bits(a)
             c = _hdr_map_gamma1_bits(fb, p.range_min, p.range_max)
             return quantize_u16_downward(c)
         c = _hdr_map_gamma1_bits(a, p.range_min, p.range_max)
         return c  # f32 bits
+
+
+def _hdr_map_gamma_f32_bits(fbits, p):
+    """Special-gamma f32 map (hdr.c:188-206): clamp01((f - cmin) *
+    factor) with cmin/cmax = signed powf of the range params, all at
+    FE_TONEAREST — two native f32 ops.  NaNs are routed around the
+    arithmetic (XLA canonicalizes payloads; the host quiets them)."""
+    inv_g = float(np.float32(1.0) / np.float32(p.gamma))
+    cmin = np.float32(np.asarray(hdr_mod._signed_powf(
+        np.float32(p.range_min), inv_g)).item())
+    cmax = np.float32(np.asarray(hdr_mod._signed_powf(
+        np.float32(p.range_max), inv_g)).item())
+    factor = np.float32(1.0) / np.float32(cmax - cmin)
+    fbits = fbits.astype(jnp.uint32)
+    f = jax.lax.bitcast_convert_type(fbits, jnp.float32)
+    u = (f - jnp.float32(cmin)) * jnp.float32(factor)
+    out = clamp01_f32_bits(jax.lax.bitcast_convert_type(u, jnp.uint32))
+    nan_in = (fbits & jnp.uint32(0x7FFFFFFF)) > jnp.uint32(0x7F800000)
+    return jnp.where(nan_in, fbits | jnp.uint32(0x00400000), out)
 
 
 _hdr_f16_u16 = _HDREdge("f16_to_u16")

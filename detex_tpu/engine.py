@@ -31,6 +31,11 @@ from detex_tpu.ops.pallas import (bptc_float_pallas, bptc_pallas,
                                   etc_eac_pallas)
 from detex_tpu.texture import Texture
 
+# Backend that actually executed the most recent
+# decompress_texture_linear call ("device" / "jax" / "native") — lets
+# callers and benchmarks confirm no silent downgrade happened.
+LAST_BACKEND: str = ""
+
 # compressed-format index -> (decoder, native packer kind)
 # Packer kinds describe the native array -> byte-layout mapping:
 #   u32: (N,16) packed 32-bit pixels; u8/u16/i16: component arrays.
@@ -265,14 +270,25 @@ def decompress_texture_linear(tex: Texture, pixel_format: int = None,
                                 pixel_format)
     if backend == "device":
         # Fully-fused device pipeline (decode+convert+assemble in one
-        # jit); falls back to host conversion only for paths the
-        # device cannot express (HDR gamma != 1 powf table).
+        # jit).  Every conversion edge (incl. HDR gamma != 1) now has
+        # a device kernel; a path can still be missing entirely (no
+        # edge sequence exists for the format pair), in which case the
+        # host converter will raise the same error — but never
+        # silently: the downgrade is warned and recorded.
+        global LAST_BACKEND
         try:
             img = decompress_texture_linear_device(tex, pixel_format,
                                                    mode_mask, flags)
+            LAST_BACKEND = "device"
             return CD.to_bytes(np.asarray(img))
-        except C.ConversionError:
+        except C.ConversionError as e:
+            import warnings
+            warnings.warn(
+                f"device pipeline unavailable for this conversion "
+                f"({e}); falling back to the host converter",
+                RuntimeWarning, stacklevel=2)
             backend = "jax"
+    LAST_BACKEND = backend
     blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
     native, valid = decode_blocks(tex.format, blocks, mode_mask, flags,
                                   backend)

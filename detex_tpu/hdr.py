@@ -147,10 +147,17 @@ def _map_range_gamma1(f: np.ndarray, rmin: float, rmax: float):
     return _clamp01_f32(u)
 
 
-def _map_range_gamma(f: np.ndarray, params: HDRParams):
-    """Gamma!=1 chain at FE_TONEAREST (hdr.c:143-166, 188-206)."""
+def _map_range_gamma(f: np.ndarray, params: HDRParams,
+                     correct_values: bool):
+    """Gamma!=1 chain at FE_TONEAREST (hdr.c:143-166, 188-206).
+
+    correct_values=True is the half-float path: pixel values go through
+    the gamma-corrected table (hdr.c:155).  The f32 path maps the RAW
+    value against the pow-corrected range endpoints only
+    (hdr.c:188-206 never applies powf to buffer[i])."""
     inv_g = np.float32(1.0) / np.float32(params.gamma)
-    fg = _signed_powf(f, float(inv_g))
+    fg = _signed_powf(f, float(inv_g)) if correct_values \
+        else np.asarray(f, np.float32)
     cmin = np.float32(_signed_powf(np.float32(params.range_min),
                                    float(inv_g)))
     cmax = np.float32(_signed_powf(np.float32(params.range_max),
@@ -167,7 +174,7 @@ def hdr_half_to_u16(h16: np.ndarray, params: HDRParams = None) -> np.ndarray:
     if p.gamma == 1.0:
         c = _map_range_gamma1(f, p.range_min, p.range_max)
         return quantize_u16_downward(c)
-    c = _map_range_gamma(f, p)
+    c = _map_range_gamma(f, p, correct_values=True)
     # lrintf at FE_TONEAREST: rint(x*65535f + 0.5f) in f32.
     w = (c * np.float32(65535.0) + np.float32(0.5))
     with np.errstate(invalid="ignore"):
@@ -182,7 +189,7 @@ def hdr_float_to_float(f32: np.ndarray,
     f = np.asarray(f32, dtype=np.float32)
     if p.gamma == 1.0:
         return _map_range_gamma1(f, p.range_min, p.range_max)
-    return _map_range_gamma(f, p)
+    return _map_range_gamma(f, p, correct_values=False)
 
 
 def calculate_dynamic_range(pixel_buffer: np.ndarray, pixel_format: int):

@@ -170,7 +170,7 @@ class PipelinedController(Controller):
         # it has had a full control period of overlap to run.
         return None if prev is None else np.asarray(prev)
 
-    def flush(self) -> np.ndarray:
+    def flush(self) -> Optional[np.ndarray]:
         """Drain the pipeline: block for the in-flight action."""
         prev, self._pending_action = self._pending_action, None
         return None if prev is None else np.asarray(prev)

@@ -39,6 +39,14 @@ def test_convert_hdr_variants(golden):
             np.testing.assert_array_equal(
                 out, g[f"hdr{vi}_out"],
                 err_msg=f"hdr variant {vi} ({gamma},{rmin},{rmax})")
+            if f"hdr{vi}_src32" in g:
+                out32 = C.convert_pixels(
+                    g[f"hdr{vi}_src32"], int(g["n_pixels"]),
+                    F.FLOAT_RGBX32_HDR, F.FLOAT_RGBX32)
+                np.testing.assert_array_equal(
+                    out32, g[f"hdr{vi}_out32"],
+                    err_msg=f"hdr f32 variant {vi} "
+                            f"({gamma},{rmin},{rmax})")
         finally:
             hdr.set_hdr_parameters(1.0, 0.0, 1.0)
 

@@ -111,7 +111,8 @@ def test_two_process_loopback(tmp_path):
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("LOSSES")]
         assert line, out
-        losses.append(eval(line[0].split(" ", 1)[1]))
+        import ast
+        losses.append(ast.literal_eval(line[0].split(" ", 1)[1]))
     # Both processes observe the identical global loss trajectory.
     assert losses[0] == losses[1], losses
 

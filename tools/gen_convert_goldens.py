@@ -82,10 +82,18 @@ def gen():
     # makes gamma!=1 results depend on in-process call history; the
     # golden is the clean single-call behavior.
     import subprocess
-    hdr_variants = [(1.0, 0.0, 2.0), (2.2, 0.0, 4.0), (1.0, -1.0, 3.0)]
+    # Each variant pins BOTH HDR conversion families: the f16 -> u16
+    # gamma(-LUT) path (hdr.c:119-166) and the f32 -> f32 range map
+    # (hdr.c:168-213, which for gamma != 1 maps the RAW value against
+    # pow-corrected endpoints — no powf on the pixel itself).
+    hdr_variants = [(1.0, 0.0, 2.0), (2.2, 0.0, 4.0), (1.0, -1.0, 3.0),
+                    (2.2, 0.0, 1.0), (0.5, -1.0, 3.0)]
     for vi, (gamma, rmin, rmax) in enumerate(hdr_variants):
         data = rng.integers(0, 256, size=(N_PIXELS * 8,), dtype=np.uint8)
+        data32 = rng.integers(0, 256, size=(N_PIXELS * 16,),
+                              dtype=np.uint8)
         np.save("/tmp/_hdr_src.npy", data)
+        np.save("/tmp/_hdr_src32.npy", data32)
         code = (
             "import sys, ctypes, numpy as np\n"
             f"sys.path[:0] = [{str(REPO)!r}, {str(REPO / 'tools')!r}]\n"
@@ -97,7 +105,11 @@ def gen():
             "src = np.load('/tmp/_hdr_src.npy')\n"
             f"res = ref.convert_pixels(src, {N_PIXELS},"
             " F.FLOAT_RGBX16_HDR, F.RGBX16)\n"
-            "np.save('/tmp/_hdr_out.npy', res)\n")
+            "np.save('/tmp/_hdr_out.npy', res)\n"
+            "src32 = np.load('/tmp/_hdr_src32.npy')\n"
+            f"res32 = ref.convert_pixels(src32, {N_PIXELS},"
+            " F.FLOAT_RGBX32_HDR, F.FLOAT_RGBX32)\n"
+            "np.save('/tmp/_hdr_out32.npy', res32)\n")
         subprocess.run([sys.executable, "-c", code], check=True)
         res = np.load("/tmp/_hdr_out.npy")
         # float64: the sticky FE_DOWNWARD from earlier reference calls
@@ -105,6 +117,8 @@ def gen():
         out[f"hdr{vi}_params"] = np.float64([gamma, rmin, rmax])
         out[f"hdr{vi}_src"] = data
         out[f"hdr{vi}_out"] = res
+        out[f"hdr{vi}_src32"] = data32
+        out[f"hdr{vi}_out32"] = np.load("/tmp/_hdr_out32.npy")
     out["n_hdr"] = np.int32(len(hdr_variants))
     out["n_pairs"] = np.int32(kept)
     out["n_pixels"] = np.int32(N_PIXELS)
