@@ -148,7 +148,8 @@ def _identity_elements(k: int, n: int, dtype) -> tuple:
 def lqt_backward_parallel_sharded(f_mat, l_mat, c_vec, q_mat, q_vec,
                                   r_mat, r_vec, m_mat, p_term,
                                   p_vec_term, mesh: Mesh,
-                                  axis: str = "sp"):
+                                  axis: str = "sp",
+                                  gather_output: bool = True):
     """Horizon-distributed parallel LQT backward (SURVEY.md §7 hard
     part 4 — the long-context analogue).
 
@@ -162,9 +163,18 @@ def lqt_backward_parallel_sharded(f_mat, l_mat, c_vec, q_mat, q_vec,
       3. every device combines the suffix of *later* chunks into its
          local results (one batched combine).
 
-    Communication is exactly one all_gather of n_dev elements,
-    independent of H.  Returns (P (H+1, n, n), eta (H+1, n)),
-    identical (to fp) to lqt_backward_parallel."""
+    *Algorithmic* communication is exactly one all_gather of n_dev
+    elements, independent of H (asserted on compiled HLO by
+    tests/test_collective_volume.py).  Returns (P (H+1, n, n),
+    eta (H+1, n)), identical (to fp) to lqt_backward_parallel.
+
+    gather_output=True (default) replicates the result — that output
+    all_gather is the unavoidable cost of handing every host the full
+    value trajectory.  Pass gather_output=False inside a
+    horizon-sharded pipeline to keep P/eta sharded over `axis`
+    (returned at padded length ceil((H+1)/n_dev)*n_dev; entries past
+    H+1 are identity padding) so downstream per-timestep consumers
+    (gains, rollouts) stay local to their horizon chunk."""
     h = f_mat.shape[0]
     n = f_mat.shape[1]
     n_dev = mesh.shape[axis]
@@ -178,6 +188,16 @@ def lqt_backward_parallel_sharded(f_mat, l_mat, c_vec, q_mat, q_vec,
         ident = _identity_elements(pad, n, f_mat.dtype)
         elems = tuple(jnp.concatenate([e, i]) for e, i in
                       zip(elems, ident))
+    # Element construction is cheap elementwise math on replicated
+    # inputs; pin it replicated so GSPMD doesn't shard it backward
+    # from the shard_map in_specs and then reshard around the padding
+    # concatenate with H-sized all-gathers.  Replicated -> P(axis) at
+    # the shard_map boundary is a free local slice; the ONE chunk-total
+    # all_gather inside `body` stays the only real communication
+    # (asserted by tests/test_collective_volume.py).
+    from jax.sharding import NamedSharding
+    elems = tuple(jax.lax.with_sharding_constraint(
+        e, NamedSharding(mesh, P())) for e in elems)
 
     def body(local):
         # 1. local suffix scan (reverse): out[i] = e_i ⊕ ... ⊕ e_last.
@@ -205,6 +225,8 @@ def lqt_backward_parallel_sharded(f_mat, l_mat, c_vec, q_mat, q_vec,
     combined = jax.shard_map(body, mesh=mesh, in_specs=(spec,),
                              out_specs=spec)(elems)
     _, _, _, eta, j = combined
+    if not gather_output:
+        return j, eta
     return j[:total], eta[:total]
 
 

@@ -79,7 +79,10 @@ def bench_variant(variant: str) -> float:
         jax.sharding.set_mesh(mesh)
 
     def timed(iters):
+        t0 = time.perf_counter()
         float(run(key, nominal, iters))
+        print(f"  [{variant}] iters={iters} compile+warm "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
