@@ -29,6 +29,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -59,8 +60,10 @@ def rollout_costs(dynamics: Callable, cost: Callable, z0: jnp.ndarray,
         z0 = jnp.broadcast_to(z0[None, :], (k, z0.shape[0]))
     acc0 = jnp.zeros((k,), jnp.float32)
     if vary_axis is not None:
-        z0 = jax.lax.pcast(z0, (vary_axis,), to="varying")
-        acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
+        axes = (vary_axis,) if isinstance(vary_axis, str) \
+            else tuple(vary_axis)
+        z0 = jax.lax.pcast(z0, axes, to="varying")
+        acc0 = jax.lax.pcast(acc0, axes, to="varying")
 
     def step(carry, inp):
         z, acc = carry
@@ -79,28 +82,34 @@ def rollout_costs(dynamics: Callable, cost: Callable, z0: jnp.ndarray,
 
 
 def _mppi_update(eps, nominal, z0, dynamics, cost, cfg: MPPIConfig,
-                 terminal_cost, n_total: int, axis: Optional[str] = None):
+                 terminal_cost, n_total: int, axis=None):
     """Core MPPI update from a (local) noise shard.
 
     When `axis` is set the function runs *inside* shard_map: eps holds
     this device's rollouts and every reduction pairs with a collective
-    over `axis` (psum / pmin over ICI)."""
+    over `axis`.  A tuple axis (e.g. ('dcn', 'ici')) reduces
+    hierarchically, innermost (ICI) axis first, so only the final
+    O(H*A) partial crosses the outer (DCN) axis
+    (parallel/distributed.py mesh layout)."""
+    axes = (axis,) if isinstance(axis, str) else axis
     controls = jnp.clip(nominal[None] + eps, cfg.action_low,
                         cfg.action_high)
     costs = rollout_costs(dynamics, cost, z0, controls, terminal_cost,
                           vary_axis=axis)
     beta = jnp.min(costs)
-    if axis is not None:
-        beta = jax.lax.pmin(beta, axis)
+    if axes is not None:
+        for ax in reversed(axes):          # ICI first, DCN last
+            beta = jax.lax.pmin(beta, ax)
     w = jnp.exp(-(costs - beta) / cfg.temperature)
     # Weighted average of the *clipped* perturbed controls.
     weighted = jnp.einsum("k,kha->ha", w, controls)
     w_sum = jnp.sum(w)
     w2_sum = jnp.sum(w * w)
     cost_sum = jnp.sum(costs)
-    if axis is not None:
-        weighted, w_sum, w2_sum, cost_sum = jax.lax.psum(
-            (weighted, w_sum, w2_sum, cost_sum), axis)
+    if axes is not None:
+        for ax in reversed(axes):
+            weighted, w_sum, w2_sum, cost_sum = jax.lax.psum(
+                (weighted, w_sum, w2_sum, cost_sum), ax)
     new_nominal = weighted / w_sum
     diagnostics = {
         "min_cost": beta,
@@ -142,10 +151,13 @@ def mppi_step(key, nominal: jnp.ndarray, z0: jnp.ndarray,
                                        cfg, terminal_cost, cfg.n_rollouts)
         return controls_update
 
-    if cfg.n_rollouts % mesh.shape[rollout_axis]:
+    axis_tuple = (rollout_axis,) if isinstance(rollout_axis, str) \
+        else tuple(rollout_axis)
+    n_shards = int(np.prod([mesh.shape[a] for a in axis_tuple]))
+    if cfg.n_rollouts % n_shards:
         raise ValueError(
-            f"n_rollouts={cfg.n_rollouts} not divisible by mesh axis "
-            f"'{rollout_axis}' size {mesh.shape[rollout_axis]}")
+            f"n_rollouts={cfg.n_rollouts} not divisible by mesh axes "
+            f"{axis_tuple} total size {n_shards}")
 
     def body(eps_local):
         return _mppi_update(eps_local, nominal, z0, dynamics, cost, cfg,
@@ -153,7 +165,9 @@ def mppi_step(key, nominal: jnp.ndarray, z0: jnp.ndarray,
                             axis=rollout_axis)
 
     diag_specs = {"min_cost": P(), "mean_cost": P(), "ess": P()}
-    return jax.shard_map(body, mesh=mesh, in_specs=P(rollout_axis),
+    in_spec = P(rollout_axis if isinstance(rollout_axis, str)
+                else axis_tuple)
+    return jax.shard_map(body, mesh=mesh, in_specs=in_spec,
                          out_specs=(P(), diag_specs))(eps)
 
 

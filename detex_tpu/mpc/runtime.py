@@ -67,6 +67,35 @@ def decode_obs(words: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return unpack_rgba8_image(pix, height, width)
 
 
+def unpack_rgba8_images(packed: jnp.ndarray, height: int,
+                        width: int) -> jnp.ndarray:
+    """Batched unpack_rgba8_image: (B, N_blocks, 16) packed RGBA8
+    int32 -> (B, H, W, 4) int32 0..255 (same strided row-slice+concat
+    relayout)."""
+    b = packed.shape[0]
+    hb, wb = height // 4, width // 4
+    x = packed.reshape(b, hb, wb, 4, 4)
+    rows = [x[:, :, :, py, :].reshape(b, hb, 1, wb * 4)
+            for py in range(4)]
+    img = jnp.concatenate(rows, axis=2).reshape(b, height, width)
+    r = jnp.bitwise_and(img, 0xFF)
+    g = jnp.bitwise_and(img >> 8, 0xFF)
+    bl = jnp.bitwise_and(img >> 16, 0xFF)
+    a = jnp.bitwise_and(img >> 24, 0xFF)
+    return jnp.stack([r, g, bl, a], axis=-1)
+
+
+def decode_obs_batch(words: jnp.ndarray, height: int,
+                     width: int) -> jnp.ndarray:
+    """Batched in-graph BC7 observation decode: (B, N_blocks, 4)
+    words -> (B, H, W, 4) int32 images.  The SAME decode code as the
+    control step's decode_obs — training and control share the
+    perception path (BASELINE north star)."""
+    b, nb, _ = words.shape
+    pix, _ = bptc_pallas.decode_bptc_auto(words.reshape(b * nb, 4))
+    return unpack_rgba8_images(pix.reshape(b, nb, 16), height, width)
+
+
 def latent_cost_fn(goal_z: jnp.ndarray, cfg: ControllerConfig):
     """Quadratic latent-goal cost for the planner."""
     def cost(z, u, t):

@@ -41,16 +41,26 @@ class TrainConfig:
     checkpoint_every: int = 50
     checkpoint_dir: Optional[str] = None
     mesh_shape: Optional[tuple] = None      # (dp, tp); default all-dp
+    # Observations arrive as BC7 blocks and are decoded IN-GRAPH by
+    # the same kernels as the control step (north-star perception
+    # path); the env must emit obs_words/next_obs_words.
+    compressed_obs: bool = False
 
 
 class SyntheticVisualEnv:
-    """Hidden linear system z' = A z + B u rendered to uint8 images."""
+    """Hidden linear system z' = A z + B u rendered to uint8 images.
+
+    compressed=True emits observations as BC7 texture blocks
+    (ops/bptc_encode.py mode-6 grayscale) instead of raw images — the
+    north-star data path, where the training step decodes them
+    in-graph with the same kernels as the control step."""
 
     def __init__(self, cfg: D.DynamicsConfig, seed: int = 0,
-                 state_dim: int = 8):
+                 state_dim: int = 8, compressed: bool = False):
         rng = np.random.default_rng(seed)
         self.cfg = cfg
         self.state_dim = state_dim
+        self.compressed = compressed
         a = rng.standard_normal((state_dim, state_dim))
         # stable transition
         self.A = (0.95 * a / max(1e-6, np.abs(np.linalg.eigvals(a)).max())
@@ -60,12 +70,24 @@ class SyntheticVisualEnv:
         n_pix = cfg.image_size * cfg.image_size * cfg.channels
         self.render_w = rng.standard_normal(
             (state_dim, n_pix)).astype(np.float32)
+        n_gray = cfg.image_size * cfg.image_size
+        self.render_w_gray = rng.standard_normal(
+            (state_dim, n_gray)).astype(np.float32)
 
     def render(self, z: np.ndarray) -> np.ndarray:
         flat = np.tanh(z @ self.render_w)
         img = ((flat * 0.5 + 0.5) * 255.0).astype(np.uint8)
         s = self.cfg.image_size
         return img.reshape(z.shape[0], s, s, self.cfg.channels)
+
+    def render_words(self, z: np.ndarray) -> np.ndarray:
+        """(B, state) -> (B, n_blocks, 4) int32 BC7 block words."""
+        from detex_tpu.ops import bptc_encode as E
+        s = self.cfg.image_size
+        flat = np.tanh(z @ self.render_w_gray)
+        img = ((flat * 0.5 + 0.5) * 255.0).astype(np.uint8) \
+            .reshape(z.shape[0], s, s)
+        return np.stack([E.encode_bc7_mode6_gray(im) for im in img])
 
     def sample_batch(self, rng: np.random.Generator,
                      batch_size: int) -> Dict[str, np.ndarray]:
@@ -74,8 +96,35 @@ class SyntheticVisualEnv:
         u = rng.uniform(-1, 1, (batch_size, self.cfg.action_dim)) \
             .astype(np.float32)
         z_next = z @ self.A.T + u @ self.B.T
+        if self.compressed:
+            return {"obs_words": self.render_words(z), "action": u,
+                    "next_obs_words": self.render_words(z_next)}
         return {"obs": self.render(z), "action": u,
                 "next_obs": self.render(z_next)}
+
+
+def make_train_step(dcfg: D.DynamicsConfig, optimizer,
+                    compressed_obs: bool = False):
+    """Jitted train step; with compressed_obs the batch carries
+    obs_words/next_obs_words BC7 blocks decoded IN-GRAPH by the same
+    kernels as the control step (mpc/runtime.py decode path)."""
+    if not compressed_obs:
+        return jax.jit(functools.partial(D.train_step, cfg=dcfg,
+                                         optimizer=optimizer),
+                       donate_argnums=(0, 1))
+    from detex_tpu.mpc.runtime import decode_obs_batch
+    s = dcfg.image_size
+
+    def visual_step(params, opt_state, batch):
+        decoded = {
+            "obs": decode_obs_batch(batch["obs_words"], s, s),
+            "next_obs": decode_obs_batch(batch["next_obs_words"], s, s),
+            "action": batch["action"],
+        }
+        return D.train_step(params, opt_state, decoded, cfg=dcfg,
+                            optimizer=optimizer)
+
+    return jax.jit(visual_step, donate_argnums=(0, 1))
 
 
 def train(cfg: TrainConfig, metrics: Optional[MetricsLogger] = None,
@@ -86,7 +135,8 @@ def train(cfg: TrainConfig, metrics: Optional[MetricsLogger] = None,
     the data stream is re-seeded from the restored step counter)."""
     dcfg = cfg.dynamics
     mesh = mesh_mod.make_mesh(cfg.mesh_shape)
-    env = env or SyntheticVisualEnv(dcfg, cfg.seed)
+    env = env or SyntheticVisualEnv(dcfg, cfg.seed,
+                                    compressed=cfg.compressed_obs)
     metrics = metrics or MetricsLogger()
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -106,9 +156,7 @@ def train(cfg: TrainConfig, metrics: Optional[MetricsLogger] = None,
         params, opt_state = state["params"], state["opt_state"]
         start_step = int(state["step"])
 
-    step_fn = jax.jit(functools.partial(D.train_step, cfg=dcfg,
-                                        optimizer=optimizer),
-                      donate_argnums=(0, 1))
+    step_fn = make_train_step(dcfg, optimizer, cfg.compressed_obs)
     batch_sharding = NamedSharding(mesh, P("dp"))
 
     loss = jnp.float32(0)

@@ -46,19 +46,20 @@ mesh = dist.make_host_mesh(axis_names=("dp", "tp"))
 assert mesh.devices.shape == (2, 4)
 
 from detex_tpu.mpc import dynamics as D
-from detex_tpu.mpc.train_loop import SyntheticVisualEnv, TrainConfig
+from detex_tpu.mpc.train_loop import (SyntheticVisualEnv, TrainConfig,
+                                      make_train_step)
 
-cfg = TrainConfig()
+# North-star data path: observations are BC7 blocks, decoded in-graph
+# across the two-process mesh (VERDICT r2 item 5).
+cfg = TrainConfig(compressed_obs=True)
 dcfg = cfg.dynamics
-env = SyntheticVisualEnv(dcfg, seed=0)
+env = SyntheticVisualEnv(dcfg, seed=0, compressed=True)
 params = D.init_params(jax.random.PRNGKey(0), dcfg)
 params = jax.device_put(params, D.param_shardings(mesh, dcfg))
 opt = D.make_optimizer(cfg.lr)
 opt_state = opt.init(params)
 
-import functools
-step_fn = jax.jit(functools.partial(D.train_step, cfg=dcfg,
-                                    optimizer=opt))
+step_fn = make_train_step(dcfg, opt, compressed_obs=True)
 batch_sharding = NamedSharding(mesh, P("dp"))
 
 losses = []
@@ -118,25 +119,23 @@ def test_two_process_loopback(tmp_path):
 
     # And it matches the single-process run of the same computation
     # (this pytest process has 8 virtual CPU devices: same mesh shape).
-    import functools
-
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from detex_tpu.mpc import dynamics as D
-    from detex_tpu.mpc.train_loop import SyntheticVisualEnv, TrainConfig
+    from detex_tpu.mpc.train_loop import (SyntheticVisualEnv,
+                                          TrainConfig, make_train_step)
     from detex_tpu.parallel import mesh as mesh_mod
 
-    cfg = TrainConfig()
+    cfg = TrainConfig(compressed_obs=True)
     dcfg = cfg.dynamics
     mesh = mesh_mod.make_mesh((2, 4))
-    env_ = SyntheticVisualEnv(dcfg, seed=0)
+    env_ = SyntheticVisualEnv(dcfg, seed=0, compressed=True)
     params = D.init_params(jax.random.PRNGKey(0), dcfg)
     params = jax.device_put(params, D.param_shardings(mesh, dcfg))
     opt = D.make_optimizer(cfg.lr)
     opt_state = opt.init(params)
-    step_fn = jax.jit(functools.partial(D.train_step, cfg=dcfg,
-                                        optimizer=opt))
+    step_fn = make_train_step(dcfg, opt, compressed_obs=True)
     ref = []
     with mesh:
         for step in range(2):

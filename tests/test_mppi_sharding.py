@@ -98,6 +98,37 @@ def test_shardmap_hlo_is_partitioned():
     assert f"f32[{local},{H},{A}]" in txt
 
 
+def test_hierarchical_dcn_ici_matches_unsharded():
+    """Rollouts sharded over a 2-level ('dcn', 'ici') mesh: the psum
+    chain reduces over ICI first, then DCN (only the O(H*A) partial
+    crosses the host axis) — result matches the single-device step."""
+    dyn, cost, z0, nominal = _toy_problem()
+    key = jax.random.PRNGKey(3)
+    ref_nom, ref_diag = jax.jit(functools.partial(
+        mppi.mppi_step, dynamics=dyn, cost=cost, cfg=CFG))(
+        key, nominal=nominal, z0=z0)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("dcn", "ici"))
+    step = jax.jit(functools.partial(
+        mppi.mppi_step, dynamics=dyn, cost=cost, cfg=CFG,
+        rollout_axis=("dcn", "ici"), mesh=mesh))
+    out_nom, out_diag = step(key, nominal=nominal, z0=z0)
+    np.testing.assert_allclose(np.asarray(out_nom), np.asarray(ref_nom),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(out_diag["min_cost"]),
+                               float(ref_diag["min_cost"]), rtol=2e-5)
+    # Two distinct reduction stages must exist in the compiled HLO:
+    # an 'ici' all-reduce within each host group and a 'dcn'
+    # all-reduce across them (replica_groups {0..3}{4..7} then
+    # {0,4}{1,5}...).
+    txt = step.lower(key, nominal=nominal, z0=z0).compile().as_text()
+    import re
+    groups = set(re.findall(
+        r"all-reduce[^\n]*replica_groups=(\{\{[0-9,{}]*\}\})", txt))
+    assert "{{0,1,2,3},{4,5,6,7}}" in groups, groups   # ICI stage
+    assert "{{0,4},{1,5},{2,6},{3,7}}" in groups, groups  # DCN stage
+
+
 def test_gspmd_constraint_matches_unsharded():
     dyn, cost, z0, nominal = _toy_problem()
     key = jax.random.PRNGKey(5)

@@ -33,6 +33,56 @@ def test_train_loss_decreases(tmp_path):
     assert last < first, (first, last)
 
 
+def test_train_compressed_obs_loss_decreases():
+    """North-star training path: the env emits BC7 blocks and the
+    jitted train step decodes them in-graph (VERDICT r2 item 5)."""
+    stream = io.StringIO()
+    cfg = TrainConfig(**{**_CFG.__dict__, "compressed_obs": True})
+    _, _, last = train(cfg, metrics=MetricsLogger(stream))
+    lines = stream.getvalue().strip().splitlines()
+    first = float(__import__("json").loads(lines[0])["loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_train_compressed_matches_predecoded():
+    """Training on BC7 words == training on the pre-decoded images of
+    those words: the in-graph decode is bit-exact, so the loss
+    trajectories must be identical."""
+    from detex_tpu.mpc.runtime import decode_obs_batch
+
+    cfg = TrainConfig(**{**_CFG.__dict__, "n_steps": 6,
+                         "compressed_obs": True})
+    s = cfg.dynamics.image_size
+    env_words = SyntheticVisualEnv(cfg.dynamics, cfg.seed,
+                                   compressed=True)
+
+    class PreDecodedEnv:
+        """Same env, observations decoded host-side before the step."""
+
+        def sample_batch(self, rng, batch_size):
+            b = env_words.sample_batch(rng, batch_size)
+            return {
+                "obs": np.asarray(
+                    decode_obs_batch(jnp.asarray(b["obs_words"]), s, s),
+                    np.int32),
+                "next_obs": np.asarray(
+                    decode_obs_batch(jnp.asarray(b["next_obs_words"]),
+                                     s, s), np.int32),
+                "action": b["action"],
+            }
+
+    s1 = io.StringIO()
+    s2 = io.StringIO()
+    train(cfg, metrics=MetricsLogger(s1), env=env_words)
+    cfg_raw = TrainConfig(**{**cfg.__dict__, "compressed_obs": False})
+    train(cfg_raw, metrics=MetricsLogger(s2), env=PreDecodedEnv())
+    json = __import__("json")
+    l1 = [json.loads(x)["loss"] for x in s1.getvalue().splitlines()]
+    l2 = [json.loads(x)["loss"] for x in s2.getvalue().splitlines()]
+    assert l1 == l2, (l1, l2)
+
+
 def test_train_resume_matches_straight_run(tmp_path):
     # run 30 steps straight
     _, _, loss_straight = train(_CFG, metrics=MetricsLogger(io.StringIO()))

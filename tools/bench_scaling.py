@@ -86,13 +86,22 @@ def bench_one(n_dev: int, cfg: mppi.MPPIConfig, dcfg: D.DynamicsConfig,
         key, nom = jax.lax.fori_loop(0, n, body, (key, nominal))
         return nom[0, 0]
 
-    float(run(key, nominal, iters))            # compile + warm
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(run(key, nominal, iters))        # scalar fetch = true sync
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    # Marginal rate between two iteration counts (same methodology as
+    # bench.py / bench_control_step.py): fixed dispatch/RPC overhead
+    # cancels.  Through the axon tunnel a single run() call carries
+    # ~60-90 ms of RPC, which at iters=8 used to misreport the 1.5 ms
+    # solve as ~13 ms (VERDICT r2 weak #2/#7).
+    def timed(n):
+        float(run(key, nominal, n))            # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(key, nominal, n))        # scalar fetch = true sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = iters, 5 * iters
+    return (timed(hi) - timed(lo)) / (hi - lo)
 
 
 def bench_lqt(n_dev: int, h: int, n: int, m: int, iters: int) -> float:
@@ -134,13 +143,17 @@ def bench_lqt(n_dev: int, h: int, n: int, m: int, iters: int) -> float:
             return acc + eta[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-    float(run(c, iters))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(run(c, iters))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    def timed(n):
+        float(run(c, n))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(c, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = iters, 5 * iters
+    return (timed(hi) - timed(lo)) / (hi - lo)
 
 
 def main():
