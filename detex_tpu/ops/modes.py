@@ -193,6 +193,15 @@ def set_mode_bptc_float(blocks: np.ndarray, mode: int) -> np.ndarray:
     return b
 
 
+# Named alias matching the reference's signed-variant prototype
+# (detexGetModeBPTC_SIGNED_FLOAT, /root/reference/detex.h:547 — same
+# mode-code layout as the unsigned variant; there is no signed
+# SetMode in the reference, but the bit surgery is identical so the
+# alias is provided for symmetry).
+get_mode_bptc_signed_float = get_mode_bptc_float
+set_mode_bptc_signed_float = set_mode_bptc_float
+
+
 GET_MODE = {
     "BC1": get_mode_bc1,
     "ETC1": get_mode_etc1,
