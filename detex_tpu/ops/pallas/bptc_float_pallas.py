@@ -81,14 +81,25 @@ def _sel_tree32(tab, bits5):
 
 
 def _make_sfield(w):
-    """Static bitfield reader over the four 32-bit words."""
+    """Static bitfield reader over the four 32-bit words, memoized per
+    (lo, width) — the 14 mode layouts re-read many identical fields
+    (XLA would CSE them anyway; memoizing keeps the traced jaxpr and
+    the op census honest and speeds tracing)."""
+    cache = {}
+
     def sfield(lo: int, width: int):
+        key = (lo, width)
+        if key in cache:
+            return cache[key]
         wi, bit = lo // 32, lo % 32
         if bit + width <= 32:
-            return _shr(w[wi], bit) & ((1 << width) - 1)
-        lo_part = _shr(w[wi], bit)
-        hi_part = _shl(w[wi + 1], 32 - bit)
-        return (lo_part | hi_part) & ((1 << width) - 1)
+            out = _shr(w[wi], bit) & ((1 << width) - 1)
+        else:
+            lo_part = _shr(w[wi], bit)
+            hi_part = _shl(w[wi + 1], 32 - bit)
+            out = (lo_part | hi_part) & ((1 << width) - 1)
+        cache[key] = out
+        return out
     return sfield
 
 

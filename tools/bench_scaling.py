@@ -76,7 +76,11 @@ def bench_one(n_dev: int, cfg: mppi.MPPIConfig, dcfg: D.DynamicsConfig,
     step = functools.partial(mppi.mppi_step, dynamics=dyn, cost=cost,
                              cfg=cfg, rollout_axis="dp", mesh=mesh)
 
-    @functools.partial(jax.jit, static_argnames="n")
+    # `n` stays a TRACED scalar: the fori_loop lowers to one while
+    # loop and a single compile serves every iteration count (the
+    # axon toolchain's compile time grows with static trip counts —
+    # iters=55 took ~390s to compile vs ~10s for iters=5).
+    @jax.jit
     def run(key, nominal, n):
         def body(i, carry):
             key, nom = carry
