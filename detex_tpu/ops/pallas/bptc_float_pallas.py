@@ -121,11 +121,17 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
         half = 1 << (bits - 1)
         return ((v & ((1 << bits) - 1)) ^ half) - half
 
-    # --- all 14 modes: endpoints -> final select -------------------------
-    final = {f"{c}{i}": None for c in "rgb" for i in range(4)}
+    # --- all 14 modes: RAW endpoint fields -> one select -----------------
+    # The per-mode work is ONLY the field scatter (the layouts differ);
+    # the delta-add + unquantize arithmetic is identical in *shape*
+    # across modes and runs ONCE on the selected raw values with
+    # per-block constant vectors (epb / delta-bit masks chosen by mode
+    # via 4-bit select trees).  Cuts ~1/3 of the kernel's VPU ops vs
+    # running the endpoint math 14 times (decompress-bptc-float.c
+    # semantics unchanged; goldens + fuzz pin bit-exactness).
+    raw = {f"{c}{i}": None for c in "rgb" for i in range(4)}
     for m in range(14):
-        epb = _EPB[m]
-        ep = {k: 0 for k in final}
+        ep = {k: 0 for k in raw}
         for f in _FIELDS[m]:
             dest, lo, hi, shift = f[0], f[1], f[2], f[3]
             rev = len(f) > 4 and f[4]
@@ -139,48 +145,69 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
             ep[dest] = sval if isinstance(ep[dest], int) else ep[dest] | sval
         ns = 1 if m >= 10 else 2
         for c in "rgb":
-            e = [ep[f"{c}{i}"] for i in range(4)]
-            for i in range(4):
-                if isinstance(e[i], int):
-                    e[i] = jnp.zeros_like(mode)
-            if signed:
-                e[0] = sign_extend(e[0], epb)
-            if _DELTA[m] is not None:
-                db = _DELTA[m]["rgb".index(c)]
-                for i in range(1, ns * 2):
-                    d = sign_extend(e[i], db)
-                    e[i] = (e[0] + d) & ((1 << epb) - 1)
-                    if signed:
-                        e[i] = sign_extend(e[i], epb)
-            elif signed:
-                for i in range(1, ns * 2):
-                    e[i] = sign_extend(e[i], epb)
-            # unquantize (decompress-bptc-float.c:52-86)
             for i in range(ns * 2):
-                x = e[i]
-                if signed:
-                    if epb < 16:
-                        mag = jnp.abs(x)
-                        unq = _shr(_shl(mag, 15) + 0x4000, epb - 1)
-                        unq = jnp.where(mag == 0, 0,
-                                        jnp.where(mag >= (1 << (epb - 1)) - 1,
-                                                  0x7FFF, unq))
-                        x = jnp.sign(x) * unq
-                else:
-                    if m != 13:
-                        unq = _shr(_shl(x, 15) + 0x4000, epb - 1)
-                        x = jnp.where(x == 0, 0,
-                                      jnp.where(x == (1 << epb) - 1,
-                                                0xFFFF, unq))
-                e[i] = x
-            for i in range(4):
-                if i >= ns * 2:
-                    continue   # unused endpoint regs for 1-subset modes
                 key = f"{c}{i}"
-                if final[key] is None:
-                    final[key] = e[i]
+                v = ep[key]
+                if isinstance(v, int):
+                    v = jnp.zeros_like(mode)
+                if raw[key] is None:
+                    raw[key] = v
                 else:
-                    final[key] = jnp.where(mode == m, e[i], final[key])
+                    raw[key] = jnp.where(mode == m, v, raw[key])
+
+    # Per-block mode-dependent constants (4-bit select trees).
+    mbits = [(mode & (1 << i)) != 0 for i in range(4)]
+
+    def mode_const(tab14):
+        t = list(tab14) + [tab14[-1]] * 2      # pad 14 -> 16 leaves
+        return _sel_tree32(t, mbits)
+
+    epb_mask_v = mode_const([(1 << e) - 1 for e in _EPB])
+    epb_half_v = mode_const([1 << (e - 1) for e in _EPB])
+    epb_sh_v = mode_const([e - 1 for e in _EPB])
+    is16 = epb_sh_v == 15                      # mode 13: no unquantize
+    has_delta = mode_const(
+        [0 if d is None else 1 for d in _DELTA]) != 0
+    db_mask = {}
+    db_half = {}
+    for ci, c in enumerate("rgb"):
+        db_mask[c] = mode_const(
+            [0 if d is None else (1 << d[ci]) - 1 for d in _DELTA])
+        db_half[c] = mode_const(
+            [1 if d is None else 1 << (d[ci] - 1) for d in _DELTA])
+
+    def sext_v(v, mask, half):
+        return ((v & mask) ^ half) - half
+
+    final = {}
+    for ci, c in enumerate("rgb"):
+        e = [raw[f"{c}{i}"] for i in range(4)]
+        e0s = sext_v(e[0], epb_mask_v, epb_half_v) if signed else e[0]
+        outs = [e0s]
+        for i in range(1, 4):
+            d = sext_v(e[i], db_mask[c], db_half[c])
+            dv = (e0s + d) & epb_mask_v
+            plain = e[i]
+            if signed:
+                dv = sext_v(dv, epb_mask_v, epb_half_v)
+                plain = sext_v(plain, epb_mask_v, epb_half_v)
+            outs.append(jnp.where(has_delta, dv, plain))
+        # unquantize (decompress-bptc-float.c:52-86), vector epb
+        for i in range(4):
+            x = outs[i]
+            if signed:
+                mag = jnp.abs(x)
+                unq = _shr(_shl(mag, 15) + 0x4000, epb_sh_v)
+                unq = jnp.where(mag == 0, 0,
+                                jnp.where(mag >= epb_half_v - 1,
+                                          0x7FFF, unq))
+                x = jnp.where(is16, x, jnp.sign(x) * unq)
+            else:
+                unq = _shr(_shl(x, 15) + 0x4000, epb_sh_v)
+                xu = jnp.where(x == 0, 0,
+                               jnp.where(x == epb_mask_v, 0xFFFF, unq))
+                x = jnp.where(is16, x, xu)
+            final[f"{c}{i}"] = x
 
     # --- shared pixel loop ------------------------------------------------
     ns1 = mode >= 10
