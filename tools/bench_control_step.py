@@ -52,7 +52,9 @@ def bench(cfg: ControllerConfig) -> float:
     goal_z = jnp.zeros((dcfg.latent_dim,), jnp.float32)
     step = functools.partial(control_step, cfg=cfg)
 
-    @functools.partial(jax.jit, static_argnames="iters")
+    # iters stays TRACED: one while-loop compile serves both counts
+    # (static trip counts compile minutes-slow through this toolchain).
+    @jax.jit
     def run(params, nominal, key, obs_words, goal_z, iters):
         def body(i, carry):
             key, nom = carry

@@ -160,7 +160,9 @@ def sustained(family: str) -> float:
         np.ascontiguousarray(blocks).view(np.uint32).astype(np.int64)
         .astype(np.int32)).T.copy())
 
-    @functools.partial(jax.jit, static_argnames="iters")
+    # iters stays TRACED (single compile serves both points; static
+    # trip counts compile slowly through the axon toolchain).
+    @jax.jit
     def run(x, iters):
         def body(i, acc):
             out, valid = fn(x ^ i, interpret=False)
@@ -252,7 +254,7 @@ def probe_rate(census, tile) -> float:
     x = jnp.asarray(rng.integers(-2**31, 2**31, (4, N), np.int64)
                     .astype(np.int32))
 
-    @functools.partial(jax.jit, static_argnames="iters")
+    @jax.jit
     def run(x, iters):
         def body(i, acc):
             out = call(x ^ i)
@@ -293,12 +295,17 @@ def main():
             rate = sustained(family)
             row["measured_blocks_per_s"] = f"{rate:.3g}"
             row["achieved_ops_per_s"] = f"{rate * total:.3g}"
+            print(json.dumps(row), flush=True)
             if not args.no_probe:
                 peak = probe_rate(census, tile)
-                row["mix_probe_blocks_per_s"] = f"{peak:.3g}"
-                row["pct_of_demonstrated_roofline"] = round(
-                    100 * rate / peak, 1)
-        print(json.dumps(row), flush=True)
+                print(json.dumps({
+                    "family": family,
+                    "mix_probe_blocks_per_s": f"{peak:.3g}",
+                    "pct_of_demonstrated_roofline": round(
+                        100 * rate / peak, 1),
+                }), flush=True)
+        else:
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
