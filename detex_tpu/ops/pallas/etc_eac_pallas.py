@@ -623,6 +623,8 @@ decode_etc2_eac_auto = _auto(decode_etc2_eac, ETCJ.decode_etc2_eac,
 decode_eac_r11_auto = _auto(decode_eac_r11, EACJ.decode_eac_r11)
 decode_eac_signed_r11_auto = _auto(decode_eac_signed_r11,
                                    EACJ.decode_eac_signed_r11)
-decode_eac_rg11_auto = _auto(decode_eac_rg11, EACJ.decode_eac_rg11)
+decode_eac_rg11_auto = _auto(decode_eac_rg11, EACJ.decode_eac_rg11,
+                             best_tile=256)
 decode_eac_signed_rg11_auto = _auto(decode_eac_signed_rg11,
-                                    EACJ.decode_eac_signed_rg11)
+                                    EACJ.decode_eac_signed_rg11,
+                                    best_tile=256)

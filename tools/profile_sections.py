@@ -82,7 +82,7 @@ FAMILIES = {
     "EAC_R11": (lambda t: functools.partial(
         etc_eac_pallas.decode_eac_r11_planar, tile=t), 8, 32, 512),
     "EAC_RG11": (lambda t: functools.partial(
-        etc_eac_pallas.decode_eac_rg11_planar, tile=t), 16, 64, 512),
+        etc_eac_pallas.decode_eac_rg11_planar, tile=t), 16, 64, 256),
 }
 
 
