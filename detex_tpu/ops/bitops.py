@@ -25,7 +25,8 @@ def words_from_bytes(blocks_u8):
 
 def bytes_from_words(words) -> np.ndarray:
     """(N, k) int32 words -> (N, 4*k) uint8 little-endian bytes."""
-    return np.asarray(words).view(np.uint32).astype(np.uint32).view(np.uint8)
+    return np.ascontiguousarray(np.asarray(words)).view(np.uint32) \
+        .astype(np.uint32).view(np.uint8)
 
 
 def u32(x):

@@ -229,26 +229,42 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
         hi_part = jnp.where(bit == 0, 0, _shl(hi, (32 - bit) & 31))
         return (lo_part | hi_part) & 0xF
 
+    # Weight magic (exact floor((64*idx+c)/d) multiply-shift): the
+    # 3-bit vs 4-bit variant choice is per BLOCK (ns1), so hoist the
+    # (cadd, mul, shift) triple out of the pixel loop — one multiply
+    # per pixel instead of two.
+    wm_c = jnp.where(ns1, 7, 3)
+    wm_mul = jnp.where(ns1, 34953, 9363)
+    wm_sh = jnp.where(ns1, 19, 16)
+    # d-form interpolation, hoisted per block per subset:
+    #   (64-w)*e0 + w*e1 + 32  ==  (e0<<6) + w*(e1-e0) + 32
+    # bit-identical in exact i32 arithmetic (deltas may be negative).
+    ibase = {}
+    idlt = {}
+    for c in "rgb":
+        for s in range(2):
+            e0, e1 = final[f"{c}{2 * s}"], final[f"{c}{2 * s + 1}"]
+            ibase[f"{c}{s}"] = _shl(e0, 6) + 32
+            idlt[f"{c}{s}"] = e1 - e0
+
     for i in range(16):
         before = _shr(bef32, 2 * i) & 3
         is_anchor = (_shr(anc16, i) & 1) != 0
         idx2 = dynf4(82 + 3 * i - before) & jnp.where(is_anchor, 3, 7)
         idx1 = sfield(_OFF_1[i], 4) & (7 if i == 0 else 15)
         idx = jnp.where(ns1, idx1, idx2)
-        a3 = 64 * idx + 3
-        a4 = 64 * idx + 7
-        wgt = jnp.where(ns1, _shr(a4 * 34953, 19), _shr(a3 * 9363, 16))
+        wgt = _shr((_shl(idx, 6) + wm_c) * wm_mul, wm_sh)
         subset1 = (_shr(sub16, i) & 1) != 0
+        sub_hi = ~ns1 & subset1
         for ci, c in enumerate("rgb"):
-            e0 = jnp.where(~ns1 & subset1, final[f"{c}2"], final[f"{c}0"])
-            e1 = jnp.where(~ns1 & subset1, final[f"{c}3"], final[f"{c}1"])
+            base = jnp.where(sub_hi, ibase[f"{c}1"], ibase[f"{c}0"])
+            dlt = jnp.where(sub_hi, idlt[f"{c}1"], idlt[f"{c}0"])
+            v = (base + wgt * dlt) >> 6
             if signed:
-                v = ((64 - wgt) * e0 + wgt * e1 + 32) >> 6
                 scaled = jnp.where(v < 0, -lax.shift_right_arithmetic(
                     -v * 31, 5), lax.shift_right_arithmetic(v * 31, 5))
                 v = jnp.where(scaled < 0, (-scaled) | 0x8000, scaled)
             else:
-                v = ((64 - wgt) * e0 + wgt * e1 + 32) >> 6
                 v = _shr(v * 31, 6)
             out_ref[16 * ci + i] = v
 
@@ -297,7 +313,7 @@ def _call(words_planar, scal, signed: bool, tile: int, interpret: bool):
 
 def decode_bptc_float_planar(words_planar, mode_mask: int = _FULL,
                              flags: int = 0, *, signed: bool = False,
-                             tile: int = 256, interpret: bool | None = None):
+                             tile: int = 512, interpret: bool | None = None):
     """BC6H decode, planar: (4, N) words -> ((48, N) int32 R/G/B u16
     plane stack, (N,) bool valid)."""
     if interpret is None:
@@ -331,7 +347,7 @@ def decode_bptc_signed_float(words, mode_mask: int = _FULL, flags: int = 0,
 def _auto(signed):
     def fn(words, mode_mask=_FULL, flags=0):
         if jax.default_backend() == "tpu":
-            tile = 256 if words.shape[0] >= 8 * 256 else 128
+            tile = 512 if words.shape[0] >= 8 * 512 else 128
             return _rows(words, mode_mask, flags, signed, tile=tile,
                          interpret=False)
         jfn = (BFJ.decode_bptc_signed_float if signed

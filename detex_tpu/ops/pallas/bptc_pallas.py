@@ -277,13 +277,25 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
                     v = jnp.where(no_alpha, 0xFF, v)
                 ep[c][j][k] = v & 0xFF
 
-    # SWAR pairs for the interpolation: (r | b<<16) and (g | a<<16).
-    # Each 16-bit lane holds (64-w)*e0 + w*e1 + 32 <= 32672 < 2^16, so
-    # lanes cannot carry into each other.
-    ep_rb = [[ep[0][j][k] | _shl(ep[2][j][k], 16) for k in range(2)]
-             for j in range(3)]
-    ep_ga = [[ep[1][j][k] | _shl(ep[3][j][k], 16) for k in range(2)]
-             for j in range(3)]
+    # SWAR interpolation in d-form, hoisted per block:
+    #   v = (e0 << 6) + w * (e1 - e0) + bias
+    # is bit-identical to (64-w)*e0 + w*e1 + bias (the reference's
+    # decompress-bptc.c:332 form after distributing) but costs ONE
+    # multiply per pixel instead of two.  For the packed (r | b<<16)
+    # pair the identity survives packing: with pack = r + 2^16*b,
+    # d = pack1 - pack0 = (r1-r0) + 2^16*(b1-b0) as an integer, and
+    # base + w*d + 0x200020 = (64*r0 + w*dr + 32) + 2^16*(64*b0 +
+    # w*db + 32); each parenthesis lies in [32, 16352], so the packed
+    # sum is exactly the lane concatenation (no borrow can cross —
+    # intermediate negatives in w*d resolve in exact i32 arithmetic).
+    rb_base = [_shl(ep[0][j][0] | _shl(ep[2][j][0], 16), 6) + 0x200020
+               for j in range(3)]
+    rb_d = [(ep[0][j][1] | _shl(ep[2][j][1], 16))
+            - (ep[0][j][0] | _shl(ep[2][j][0], 16)) for j in range(3)]
+    g_base = [_shl(ep[1][j][0], 6) + 32 for j in range(3)]
+    g_d = [ep[1][j][1] - ep[1][j][0] for j in range(3)]
+    a_base = [_shl(ep[3][j][0], 6) + 32 for j in range(3)]
+    a_d = [ep[3][j][1] - ep[3][j][0] for j in range(3)]
 
     # --- per-block index-stream parameters ------------------------------
     has_sec = ib2 > 0
@@ -343,28 +355,17 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
         w_c = _shr((_shl(color_idx, 6) + wc_c) * wc_mul, wc_sh)
         w_a = _shr((_shl(alpha_idx, 6) + wa_c) * wa_mul, wa_sh)
 
-        def sel_subset(pairs, k):
-            return jnp.where(subset == 1, pairs[1][k],
-                             jnp.where(subset == 2, pairs[2][k],
-                                       pairs[0][k]))
+        def sel3(vals):
+            return jnp.where(subset == 1, vals[1],
+                             jnp.where(subset == 2, vals[2], vals[0]))
 
-        # rb pair: both lanes weighted by w_c
-        v_rb = ((64 - w_c) * sel_subset(ep_rb, 0)
-                + w_c * sel_subset(ep_rb, 1) + 0x200020)
+        # rb pair: both lanes weighted by w_c (one mul, d-form)
+        v_rb = sel3(rb_base) + w_c * sel3(rb_d)
         r = _shr(v_rb, 6) & 0xFF
         b = _shr(v_rb, 22) & 0xFF
-        # ga pair: g lane weighted by w_c, a lane by w_a -> split weights
-        ga0 = sel_subset(ep_ga, 0)
-        ga1 = sel_subset(ep_ga, 1)
-        g0 = ga0 & 0xFFFF
-        a0 = _shr(ga0, 16)
-        w_ga = (64 - w_c) + _shl(64 - w_a, 16)
-        # (64-w_c)*g0 and (64-w_a)*a0 in one go is not expressible as a
-        # single multiply; keep g/a separate (2 muls each) but reuse the
-        # subset selects done once on the packed pair.
-        g = ((64 - w_c) * g0 + w_c * (ga1 & 0xFFFF) + 32) >> 6
-        a = ((64 - w_a) * a0 + w_a * _shr(ga1, 16) + 32) >> 6
-        del w_ga
+        # g / a: distinct weights -> one mul each on the hoisted deltas
+        g = (sel3(g_base) + w_c * sel3(g_d)) >> 6
+        a = (sel3(a_base) + w_a * sel3(a_d)) >> 6
         new_r = jnp.where(rot == 1, a, r)
         new_g = jnp.where(rot == 2, a, g)
         new_b = jnp.where(rot == 3, a, b)
