@@ -54,6 +54,26 @@ _SUB16 = (_SUB16 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 _BEF32 = (_BEF32 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 _ANC16 = (_ANC16 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
+# Subset bitmap + second-anchor position packed in ONE word per
+# partition (20 bits): one 32-entry select tree replaces the three
+# SUB16/BEF32/ANC16 gathers; the anchor bitmap and the
+# anchors-before counts are reconstructed arithmetically in-kernel
+# (BEF32 is the exclusive prefix popcount of the anchor bitmap).
+_SUBANC = (_SUB16.astype(np.int64) & 0xFFFF) \
+    | (np.asarray(_ANCHOR2, np.int64)[:32] << 16)
+_SUBANC = (_SUBANC & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+for _p in range(32):
+    _a1 = int(_SUBANC[_p]) >> 16 & 0xF
+    _anc = (1 << _a1) | 1
+    assert _anc == int(_ANC16[_p]), _p
+    _sp = _anc
+    _sp = (_sp | (_sp << 8)) & 0x00FF00FF
+    _sp = (_sp | (_sp << 4)) & 0x0F0F0F0F
+    _sp = (_sp | (_sp << 2)) & 0x33333333
+    _sp = (_sp | (_sp << 1)) & 0x55555555
+    assert ((_sp * 0x55555555 - _sp) & 0xFFFFFFFF
+            == int(np.int64(_BEF32[_p]) & 0xFFFFFFFF)), _p
+
 # ns == 1 modes: 4-bit indices from bit 65, pixel 0 anchored
 # (decompress-bptc-float.c:543-551).
 _OFF_1 = [65 + 4 * i - (1 if i > 0 else 0) for i in range(16)]
@@ -213,9 +233,18 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
     ns1 = mode >= 10
     psid = sfield(77, 5)
     pbits = [(psid & (1 << i)) != 0 for i in range(5)]
-    sub16 = _sel_tree32(_SUB16, pbits)
-    bef32 = _sel_tree32(_BEF32, pbits)
-    anc16 = _sel_tree32(_ANC16, pbits)
+    subanc = _sel_tree32(_SUBANC, pbits)
+    sub16 = subanc & 0xFFFF
+    anc16 = _shl(jnp.ones_like(subanc), _shr(subanc, 16)) | 1
+    # BEF32 == exclusive prefix popcount of the anchor bitmap in
+    # 2-bit lanes (counts <= 2, so the multiply trick cannot carry
+    # across lanes); verified against the table at import.
+    sp = anc16
+    sp = (sp | _shl(sp, 8)) & 0x00FF00FF
+    sp = (sp | _shl(sp, 4)) & 0x0F0F0F0F
+    sp = (sp | _shl(sp, 2)) & 0x33333333
+    sp = (sp | _shl(sp, 1)) & 0x55555555
+    bef32 = sp * 0x55555555 - sp
 
     def dynf4(start):
         w0i = _shr(start, 5)

@@ -55,6 +55,18 @@ _IB = np.asarray(BF._T_IB)
 _IB2 = np.asarray(BF._T_IB2)
 _HASPB = (_CPP > _CP) | (_APP > _AP)
 
+# All nine per-mode scalar constants bit-packed into ONE word per mode
+# so the kernel's mode gather is a single 8-entry select chain instead
+# of ten (layout asserted in range below):
+#   ns:0-1  pb:2-4  cp:5-7  cpp:8-11  ap:12-15  app:16-19  ib:20-22
+#   ib2:23-24  haspb:25
+for _arr, _w in ((_NS, 2), (_PB, 3), (_CP, 3), (_CPP, 4), (_AP, 4),
+                 (_APP, 4), (_IB, 3), (_IB2, 2)):
+    assert int(np.max(_arr)) < (1 << _w), _arr
+_MODEC = (_NS | (_PB << 2) | (_CP << 5) | (_CPP << 8) | (_AP << 12)
+          | (_APP << 16) | (_IB << 20) | (_IB2 << 23)
+          | (_HASPB.astype(np.int64) << 25)).astype(np.int32)
+
 # ---------------------------------------------------------------------------
 # Packed partition tables, indexed q = (ns-1)*64 + psid:
 #   SUB32: 16 x 2-bit subset ids      BEF32: 16 x 2-bit anchors-before
@@ -84,6 +96,43 @@ def _build_packed():
 
 
 _SUB32, _BEF32, _ANC16 = _build_packed()
+
+# Anchor POSITIONS packed 2-per-word (a0 = ns2 anchor, a1/a2 = ns3
+# anchors, 4 bits each -> 12 bits/psid): one 32-entry select tree
+# replaces the two 64-entry ANC16 gathers, and BEF32 is then derived
+# arithmetically in-kernel (it is the exclusive prefix popcount of the
+# anchor bitmap — see `before = cumsum(is_anchor) - is_anchor` above).
+
+
+def _build_anchor_pos():
+    anchors = np.asarray(BF._T_ANCHORS).astype(np.uint32)
+    p = anchors[:, 0] | (anchors[:, 1] << 4) | (anchors[:, 2] << 8)
+    p2 = (p[0::2] | (p[1::2] << 12)).astype(np.uint32).view(np.int32)
+
+    # Verify the in-kernel reconstruction against the packed tables
+    # for every (ns, psid) row.
+    psid = np.arange(64)
+    pos = p[psid].astype(np.int64)
+    a0, a1, a2 = pos & 0xF, (pos >> 4) & 0xF, (pos >> 8) & 0xF
+    anc = {1: np.ones(64, np.int64),
+           2: (1 << a0) | 1,
+           3: (1 << a1) | (1 << a2) | 1}
+    for ns_chk in (1, 2, 3):
+        rows = (ns_chk - 1) * 64 + psid
+        want_anc = np.asarray(_ANC16[rows], np.int64) & 0xFFFFFFFF
+        assert np.array_equal(anc[ns_chk], want_anc), ns_chk
+        s = anc[ns_chk]
+        s = (s | (s << 8)) & 0x00FF00FF
+        s = (s | (s << 4)) & 0x0F0F0F0F
+        s = (s | (s << 2)) & 0x33333333
+        s = (s | (s << 1)) & 0x55555555
+        bef = (s * 0x55555555 - s) & 0xFFFFFFFF
+        want_bef = np.asarray(_BEF32[rows], np.int64) & 0xFFFFFFFF
+        assert np.array_equal(bef, want_bef), ns_chk
+    return p2
+
+
+_ANCPOS2 = _build_anchor_pos()
 
 # Verify the arithmetic stream-offset derivations against the
 # table-driven layout (ops.bptc._mode_layout / bptc_fast tables).
@@ -145,13 +194,13 @@ def _extract_mode_v(b0):
     return mode
 
 
-def _gather64(tab, bits):
-    """Gather from a 64-entry int32 numpy table by a vector index given
-    as 6 precomputed boolean bit vectors — a binary select tree (63
-    selects, all VPU; replaces an XLA gather op)."""
+def _gather_tree(tab, bits):
+    """Gather from a 2**len(bits)-entry int32 numpy table by a vector
+    index given as precomputed boolean bit vectors (LSB first) — a
+    binary select tree (2**n - 1 selects, all VPU; replaces an XLA
+    gather op)."""
     cur = [int(v) for v in tab]
-    for level in range(6):
-        b = bits[level]
+    for b in bits:
         cur = [jnp.where(b, hi, lo)
                for lo, hi in zip(cur[0::2], cur[1::2])]
     return cur[0]
@@ -205,12 +254,13 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
             out = jnp.where(mode == m, int(tab[m]), out)
         return out
 
-    ns = msel(_NS)
-    pb_w = msel(_PB)
-    cp, cpp = msel(_CP), msel(_CPP)
-    ap, app = msel(_AP), msel(_APP)
-    ib, ib2 = msel(_IB), msel(_IB2)
-    has_pb = msel(_HASPB.astype(np.int32))
+    mc = msel(_MODEC)
+    ns = mc & 3
+    pb_w = _shr(mc, 2) & 7
+    cp, cpp = _shr(mc, 5) & 7, _shr(mc, 8) & 0xF
+    ap, app = _shr(mc, 12) & 0xF, _shr(mc, 16) & 0xF
+    ib, ib2 = _shr(mc, 20) & 7, _shr(mc, 23) & 3
+    has_pb = _shr(mc, 25) & 1
     is_m1 = mode == 1
     is_m4 = mode == 4
     is_m6 = mode == 6
@@ -235,22 +285,45 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     pbits_vec = [(psid & (1 << i)) != 0 for i in range(6)]
 
     def ptab(table):
-        g2 = _gather64(table[64:128], pbits_vec)
-        g3 = _gather64(table[128:192], pbits_vec)
+        g2 = _gather_tree(table[64:128], pbits_vec)
+        g3 = _gather_tree(table[128:192], pbits_vec)
         one = int(table[0])
         return jnp.where(ns == 1, one, jnp.where(ns == 2, g2, g3))
 
     sub32 = ptab(_SUB32)
-    bef32 = ptab(_BEF32)
-    anc16 = ptab(_ANC16)
+
+    # Anchor bitmap from ONE 32-entry tree of packed anchor positions
+    # (2 psids/word, 12 bits each) instead of two 64-entry ANC16
+    # gathers; verified against the packed tables at import.
+    pos2 = _gather_tree(_ANCPOS2, pbits_vec[1:6])
+    pos = jnp.where(pbits_vec[0], _shr(pos2, 12), pos2) & 0xFFF
+    one_v = jnp.ones_like(pos)
+    anc16 = jnp.where(ns == 2, _shl(one_v, pos & 0xF),
+                      jnp.where(ns == 3,
+                                _shl(one_v, _shr(pos, 4) & 0xF)
+                                | _shl(one_v, _shr(pos, 8)), 0)) | 1
+
+    # BEF32 == exclusive prefix popcount of the anchor bitmap in 2-bit
+    # lanes (by construction, _build_packed): spread the 16 bits to
+    # even positions, then one multiply accumulates the prefix sums
+    # (inclusive counts are <= 3, so no carry crosses a lane).
+    s = anc16
+    s = (s | _shl(s, 8)) & 0x00FF00FF
+    s = (s | _shl(s, 4)) & 0x0F0F0F0F
+    s = (s | _shl(s, 2)) & 0x33333333
+    s = (s | _shl(s, 1)) & 0x55555555
+    bef32 = s * 0x55555555 - s
 
     # --- endpoints: ep[c][j][k], dequantized to 8 bits ------------------
     no_alpha = ap == 0
+    # ONE 8-bit read covers the whole p-bit stream (<= 6 bits); each
+    # p-bit is then a variable shift instead of its own dynf.
+    pball = dynf(pbit_base, 8)
     pbit = [[None, None] for _ in range(3)]
     for j in range(3):
         for k in range(2):
-            off = pbit_base + jnp.where(is_m1, j, j * 2 + k)
-            pb = dynf(off, 1)
+            idx = jnp.where(is_m1, j, j * 2 + k)
+            pb = _shr(pball, idx) & 1
             if k == 1:
                 # mode 6 reads both p-bits from data0 >> 63, so the
                 # second one is always 0 (decompress-bptc.c:142-146)
@@ -327,6 +400,15 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     s_lo, s_hi = window64(sec_start)
     sel_ci = has_sec & isb_on
 
+    # Rotation (modes 4/5) swaps alpha with one color channel AFTER
+    # interpolation — a pure output-position permutation, so it is
+    # four per-block BYTE SHIFT AMOUNTS instead of six selects per
+    # pixel (rot == 0 elsewhere makes them the identity placement).
+    s_r = jnp.where(rot == 1, 24, 0)
+    s_g = jnp.where(rot == 2, 24, 8)
+    s_b = jnp.where(rot == 3, 24, 16)
+    s_a = jnp.where(rot == 0, 24, _shl(rot - 1, 3))
+
     # --- 16 pixels -------------------------------------------------------
     ibi = jnp.zeros_like(ib)
     ib2i = jnp.zeros_like(ib2)
@@ -366,14 +448,8 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
         # g / a: distinct weights -> one mul each on the hoisted deltas
         g = (sel3(g_base) + w_c * sel3(g_d)) >> 6
         a = (sel3(a_base) + w_a * sel3(a_d)) >> 6
-        new_r = jnp.where(rot == 1, a, r)
-        new_g = jnp.where(rot == 2, a, g)
-        new_b = jnp.where(rot == 3, a, b)
-        new_a = jnp.where(rot == 1, r,
-                          jnp.where(rot == 2, g,
-                                    jnp.where(rot == 3, b, a)))
-        pix_ref[i] = (new_r | _shl(new_g, 8) | _shl(new_b, 16)
-                      | _shl(new_a, 24))
+        pix_ref[i] = (_shl(r, s_r) | _shl(g, s_g) | _shl(b, s_b)
+                      | _shl(a, s_a))
 
     # --- validity (decompress-bptc.c:361-369) ----------------------------
     mm = jnp.broadcast_to(scal_ref[0], mode.shape)

@@ -48,8 +48,20 @@ assert np.array_equal(ETCJ.PUNCHTHROUGH_MODIFIER_TABLE[:, 2], 0 * _ETC_A)
 assert np.array_equal(ETCJ.PUNCHTHROUGH_MODIFIER_TABLE[:, 3], -_ETC_B)
 _EAC_M = EACJ.EAC_MODIFIER_TABLE
 assert np.array_equal(_EAC_M[:, 4:], -_EAC_M[:, :4] - 1)
+# The four per-row magnitudes packed as 5-bit biased fields: ONE
+# 16-entry select tree per block instead of four.
+assert int(_EAC_M[:, :4].min()) >= -16 and int(_EAC_M[:, :4].max()) < 16
+_EAC_MP = np.zeros(16, np.int32)
+for _c in range(4):
+    _EAC_MP |= ((np.asarray(_EAC_M[:, _c], np.int64) + 16)
+                << (5 * _c)).astype(np.int32)
 
 _DIST = ETCJ.ETC2_DISTANCE_TABLE
+# (a, b) modifier pair packed per codeword row (a <= 47 -> 6 bits):
+# one 8-entry tree per subblock instead of two.
+assert int(_ETC_A.max()) < 64 and int(_ETC_B.max()) < 256
+_ETC_AB = (np.asarray(_ETC_A, np.int64)
+           | (np.asarray(_ETC_B, np.int64) << 6)).astype(np.int32)
 _OUT_X = ETCJ._OUT_X
 _OUT_Y = ETCJ._OUT_Y
 _SRC_I = ETCJ._SRC_I
@@ -137,10 +149,10 @@ def _etc2_pixels(w0, w1, *, etc1_only: bool, punchthrough: bool):
     flip = b3 & 1
     cw1_bits = _bits_of(_shr(b3 & 224, 5), 3)
     cw2_bits = _bits_of(_shr(b3 & 28, 2), 3)
-    a1 = _sel_tree(_ETC_A, cw1_bits)
-    b1m = _sel_tree(_ETC_B, cw1_bits)
-    a2 = _sel_tree(_ETC_A, cw2_bits)
-    b2m = _sel_tree(_ETC_B, cw2_bits)
+    ab1 = _sel_tree(_ETC_AB, cw1_bits)
+    ab2 = _sel_tree(_ETC_AB, cw2_bits)
+    a1, b1m = ab1 & 63, _shr(ab1, 6)
+    a2, b2m = ab2 & 63, _shr(ab2, 6)
 
     piw = _bswap32(w1)
 
@@ -334,9 +346,11 @@ def _eac_codes(w0, w1):
 
 def _eac_modifier_cols(w0):
     """Four per-block modifier magnitudes m[0..3] = EAC table row
-    (tidx = byte1 low nibble) via 16-entry select trees."""
+    (tidx = byte1 low nibble) via ONE 16-entry select tree over the
+    packed 5-bit biased fields."""
     tbits = _bits_of(_shr(w0, 8) & 0xF, 4)
-    return [_sel_tree(_EAC_M[:, c], tbits) for c in range(4)]
+    mp = _sel_tree(_EAC_MP, tbits)
+    return [(_shr(mp, 5 * c) & 31) - 16 for c in range(4)]
 
 
 def _eac_modifier(m, code):
