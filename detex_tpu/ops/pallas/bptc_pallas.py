@@ -276,9 +276,11 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     index_start = pbit_base + has_pb * jnp.where(is_m1, 2, ns2)
     sec_start = index_start + ib * 16 - ns
 
-    psid = dynf(pb_start, 6) & _vmask(pb_w)
-    rot = dynf(pb_start + pb_w, 2) & _vmask(rb_w)
-    isb = jnp.where(is_m4, dynf(isb_start, 1), 0)
+    # pb/rot/isb fields end by bit 18 in every mode, so they always
+    # live in word 0: direct shifts replace three dynf calls.
+    psid = _shr(w[0], pb_start) & _vmask(pb_w)
+    rot = _shr(w[0], pb_start + pb_w) & _vmask(rb_w)
+    isb = jnp.where(is_m4, _shr(w[0], isb_start) & 1, 0)
 
     # Partition-table lookups via select trees.  ns == 1 rows are
     # constants: subset 0 everywhere, pixel 0 the only anchor.
@@ -329,20 +331,29 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
                 # second one is always 0 (decompress-bptc.c:142-146)
                 pb = jnp.where(is_m6, 0, pb)
             pbit[j][k] = pb
+    # Endpoint reads, one 64-bit window per channel: a channel's six
+    # fields span 6*cp <= 42 bits, so window64 at the channel base +
+    # five funnel advances by cp replace six independent dynf calls
+    # (each with its own 4-way word pick).
     ep = [[[None, None] for _ in range(3)] for _ in range(4)]
     for c in range(4):
         pp = app if c == 3 else cpp
         p = ap if c == 3 else cp
+        stride = ap if c == 3 else cp
         has_p = pp > p
         pmask = _vmask(p)
         shift_up = (8 - pp) & 31
+        if c == 3:
+            base = alpha_base
+        else:
+            base = ep_base + c * ns2 * cp
+        wlo, whi = window64(base)
         for j in range(3):
             for k in range(2):
-                if c == 3:
-                    off = alpha_base + (j * 2 + k) * ap
-                else:
-                    off = ep_base + (c * ns2 + j * 2 + k) * cp
-                raw = dynf(off, 8) & pmask
+                raw = wlo & pmask
+                if not (j == 2 and k == 1):
+                    wlo = funnel(wlo, whi, stride)
+                    whi = _shr(whi, stride)
                 v = jnp.where(has_p, _shl(raw, 1) | pbit[j][k], raw)
                 v = _shl(v, shift_up)
                 v = v | _shr(v, pp)
@@ -387,11 +398,16 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
 
     wc_mul, wc_sh, wc_c = wmagic(color_bits)
     wa_mul, wa_sh, wa_c = wmagic(alpha_bits)
+    # Fold floor((64*idx + c) / d) = (idx*(mul<<6) + c*mul) >> sh so
+    # the per-pixel weight is mul+add+shift (products stay < 2^30).
+    wc_mul64, wc_cm = _shl(wc_mul, 6), wc_c * wc_mul
+    wa_mul64, wa_cm = _shl(wa_mul, 6), wa_c * wa_mul
+    # alpha index source: second stream only when it exists and is
+    # not swapped into the color role (ONE per-pixel select each).
+    sel_ai = has_sec & ~isb_on
 
     full_p = _vmask(ib)
-    anch_p = _vmask(ib - 1)
     full_s = _vmask(ib2)
-    anch_s = _vmask(jnp.maximum(ib2 - 1, 0))
 
     # Pre-align two 64-bit windows at the stream starts: per-pixel
     # offsets (ib*i - before <= 60) then need only a 2-way word pick
@@ -415,27 +431,26 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     for i in range(16):
         subset = _shr(sub32, 2 * i) & 3
         before = _shr(bef32, 2 * i) & 3
-        is_anchor = (_shr(anc16, i) & 1) != 0
+        anch_bit = _shr(anc16, i) & 1
 
         off_p = ibi - before
         hi_p = off_p >= 32
         prim = funnel(jnp.where(hi_p, p_hi, p_lo),
                       jnp.where(hi_p, 0, p_hi), off_p & 31) \
-            & jnp.where(is_anchor, anch_p, full_p)
+            & _shr(full_p, anch_bit)
         off_s = ib2i - before
         hi_s = off_s >= 32
         sec = funnel(jnp.where(hi_s, s_hi, s_lo),
                      jnp.where(hi_s, 0, s_hi), off_s & 31) \
-            & jnp.where(is_anchor, anch_s, full_s)
+            & _shr(full_s, anch_bit)
         if i < 15:
             ibi = ibi + ib
             ib2i = ib2i + ib2
 
         color_idx = jnp.where(sel_ci, sec, prim)
-        alpha_idx = jnp.where(has_sec,
-                              jnp.where(isb_on, prim, sec), prim)
-        w_c = _shr((_shl(color_idx, 6) + wc_c) * wc_mul, wc_sh)
-        w_a = _shr((_shl(alpha_idx, 6) + wa_c) * wa_mul, wa_sh)
+        alpha_idx = jnp.where(sel_ai, sec, prim)
+        w_c = _shr(color_idx * wc_mul64 + wc_cm, wc_sh)
+        w_a = _shr(alpha_idx * wa_mul64 + wa_cm, wa_sh)
 
         def sel3(vals):
             return jnp.where(subset == 1, vals[1],
