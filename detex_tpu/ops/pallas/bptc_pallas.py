@@ -11,13 +11,20 @@ VPU pass per tile of blocks:
     handful of per-mode constants (8-way select chains on the VPU);
     the derivations are verified against the table-driven layout of
     ops.bptc at import time.
-  * the only true table lookups — partition subset ids, anchor
-    positions, anchors-before counts (bptc-tables.c:23-188) — are
-    bit-packed into one int32 per (ns, partition) and gathered inside
-    the kernel by a 64-way binary select tree on the partition-set id
-    (63 VPU selects per table, no HBM traffic, no XLA gather op).
+  * the only true table lookups (bptc-tables.c:23-188) are compressed
+    to two select trees: subset ids bit-packed one int32 per
+    (ns, partition) gathered by a 64-way binary select tree, and
+    anchor POSITIONS packed 2-partitions/word gathered by a 32-way
+    tree; the anchors-before counts are not a table at all — they are
+    derived in-kernel as the exclusive prefix popcount of the anchor
+    bitmap (bit-spread + one multiply).  No HBM traffic, no XLA
+    gather op.
   * bitfield extraction = two-word funnel shift with the word pair
-    chosen by a 4-way select (replaces reference bits.c:22-44).
+    chosen by a 4-way select (replaces reference bits.c:22-44);
+    endpoint fields stream through one 64-bit window per channel
+    advanced by funnel shifts; header fields (partition id, rotation,
+    index-swap) end by bit 18 in every mode and are read straight
+    from word 0.
   * interpolation weights are computed arithmetically: the aWeight
     tables (bptc-tables.c:190-201) equal floor((64*i + c)/d) with
     (c,d) = (1,3)/(3,7)/(7,15); the divisions are exact multiply-shift
@@ -541,9 +548,10 @@ def decode_bptc_auto(words, mode_mask: int = _FULL, flags: int = 0):
     kernel on TPU (the pure-XLA path is gather-bound there), the jnp
     single-pass decoder elsewhere."""
     if jax.default_backend() == "tpu":
-        # tile=256 is the measured sweet spot on v5e (register
-        # pressure vs grid overhead; see PROFILE.md tile sweep).
-        tile = 256 if words.shape[0] >= 8 * 256 else 128
+        # tile=512 is the measured sweet spot on v5e after the
+        # round-3 op reductions cut register pressure (see PROFILE.md
+        # tile sweep; it was 256 for the round-2 kernel).
+        tile = 512 if words.shape[0] >= 8 * 512 else 128
         return decode_bptc(words, mode_mask, flags, tile=tile,
                            interpret=False)
     from detex_tpu.ops import bptc_fast as _bf
