@@ -187,3 +187,28 @@ def test_bptc_pallas_planar_and_padding():
     assert pix.shape == (16, 1000)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(pix).T)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(valid))
+
+
+def test_bptc_pallas_all_partitions_vs_jnp():
+    """Directed sweep of every partition id through the 2- and
+    3-subset modes: exercises the packed anchor-position tree and the
+    prefix-popcount anchors-before derivation (bptc_pallas round-3
+    table compression) for all 64 psids, not just the random draw."""
+    rng = np.random.default_rng(21)
+    blocks = []
+    for mode, pb_bits in ((0, 4), (1, 6), (2, 6), (3, 6), (7, 6)):
+        for psid in range(1 << pb_bits):
+            b = rng.integers(0, 256, 16, np.uint8)
+            # mode prefix: lowest set bit at `mode`, then psid bits
+            bits = (1 << mode) | (psid << (mode + 1))
+            b[0] = bits & 0xFF
+            if mode + 1 + pb_bits > 8:
+                b[1] = (bits >> 8) & 0xFF
+            blocks.append(b)
+    blocks = np.stack(blocks)
+    w = words_from_bytes(blocks)
+    p0, v0 = bptc_fast.decode_bptc_fast(w)
+    p1, v1 = bptc_pallas.decode_bptc(w, interpret=_INTERPRET,
+                                     tile=_TILE)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
