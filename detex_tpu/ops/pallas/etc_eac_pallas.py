@@ -627,11 +627,12 @@ def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
     return fn
 
 
-decode_etc1_auto = _auto(decode_etc1, ETCJ.decode_etc1)
+decode_etc1_auto = _auto(decode_etc1, ETCJ.decode_etc1,
+                         best_tile=256)
 decode_etc2_auto = _auto(decode_etc2, ETCJ.decode_etc2, best_tile=128)
 decode_etc2_punchthrough_auto = _auto(decode_etc2_punchthrough,
                                       ETCJ.decode_etc2_punchthrough,
-                                      best_tile=128)
+                                      best_tile=256)
 decode_etc2_eac_auto = _auto(decode_etc2_eac, ETCJ.decode_etc2_eac,
                              best_tile=256)
 decode_eac_r11_auto = _auto(decode_eac_r11, EACJ.decode_eac_r11)
