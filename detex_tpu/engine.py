@@ -27,8 +27,8 @@ from detex_tpu import convert_device as CD
 from detex_tpu import formats as F
 from detex_tpu.ops import bc, bptc_float, eac, etc, rgtc
 from detex_tpu.ops.bitops import words_from_bytes
-from detex_tpu.ops.pallas import (bptc_float_pallas, bptc_pallas,
-                                  etc_eac_pallas)
+from detex_tpu.ops.pallas import (bc_pallas, bptc_float_pallas,
+                                  bptc_pallas, etc_eac_pallas)
 from detex_tpu.texture import Texture
 
 # Backend that actually executed the most recent
@@ -40,14 +40,14 @@ LAST_BACKEND: str = ""
 # Packer kinds describe the native array -> byte-layout mapping:
 #   u32: (N,16) packed 32-bit pixels; u8/u16/i16: component arrays.
 _DECODERS = {
-    F.IDX_BC1: (bc.decode_bc1, "u32"),
-    F.IDX_BC1A: (bc.decode_bc1a, "u32"),
-    F.IDX_BC2: (bc.decode_bc2, "u32"),
-    F.IDX_BC3: (bc.decode_bc3, "u32"),
-    F.IDX_RGTC1: (rgtc.decode_rgtc1, "u8"),
-    F.IDX_SIGNED_RGTC1: (rgtc.decode_signed_rgtc1, "i16"),
-    F.IDX_RGTC2: (rgtc.decode_rgtc2, "u8"),
-    F.IDX_SIGNED_RGTC2: (rgtc.decode_signed_rgtc2, "i16"),
+    F.IDX_BC1: (bc_pallas.decode_bc1_auto, "u32"),
+    F.IDX_BC1A: (bc_pallas.decode_bc1a_auto, "u32"),
+    F.IDX_BC2: (bc_pallas.decode_bc2_auto, "u32"),
+    F.IDX_BC3: (bc_pallas.decode_bc3_auto, "u32"),
+    F.IDX_RGTC1: (bc_pallas.decode_rgtc1_auto, "u8"),
+    F.IDX_SIGNED_RGTC1: (bc_pallas.decode_signed_rgtc1_auto, "i16"),
+    F.IDX_RGTC2: (bc_pallas.decode_rgtc2_auto, "u8"),
+    F.IDX_SIGNED_RGTC2: (bc_pallas.decode_signed_rgtc2_auto, "i16"),
     F.IDX_BPTC_FLOAT: (bptc_float_pallas.decode_bptc_float_auto, "u16"),
     F.IDX_BPTC_SIGNED_FLOAT: (bptc_float_pallas.decode_bptc_signed_float_auto,
                               "u16"),

@@ -13,13 +13,15 @@ import os
 import numpy as np
 import pytest
 
+from detex_tpu.ops import bc as bcj
 from detex_tpu.ops import bptc_fast
 from detex_tpu.ops import bptc_float as bfj
 from detex_tpu.ops import eac as eacj
 from detex_tpu.ops import etc as etcj
+from detex_tpu.ops import rgtc as rgj
 from detex_tpu.ops.bitops import words_from_bytes
-from detex_tpu.ops.pallas import (bptc_float_pallas, bptc_pallas,
-                                  etc_eac_pallas)
+from detex_tpu.ops.pallas import (bc_pallas, bptc_float_pallas,
+                                  bptc_pallas, etc_eac_pallas)
 
 _TILE = 128  # small tile: exercises the grid loop in interpret mode
 
@@ -90,6 +92,9 @@ def _pack_kind(pix, kind):
     n = a.shape[0]
     if kind == "u32":
         return a.view(np.uint32).view(np.uint8).reshape(n, -1)
+    if kind == "u8":
+        return np.ascontiguousarray(
+            a.astype(np.uint8).reshape(n, -1))
     if kind == "i16":
         return np.ascontiguousarray(
             a.astype(np.int16).reshape(n, -1)).view(np.uint8)
@@ -212,3 +217,66 @@ def test_bptc_pallas_all_partitions_vs_jnp():
                                      tile=_TILE)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+# golden family -> (pallas decoder, jnp decoder, block bytes, packer)
+_BC_RGTC = {
+    "BC1": (bc_pallas.decode_bc1, bcj.decode_bc1, 8, "u32"),
+    "BC1A": (bc_pallas.decode_bc1a, bcj.decode_bc1a, 8, "u32"),
+    "BC2": (bc_pallas.decode_bc2, bcj.decode_bc2, 16, "u32"),
+    "BC3": (bc_pallas.decode_bc3, bcj.decode_bc3, 16, "u32"),
+    "RGTC1": (bc_pallas.decode_rgtc1, rgj.decode_rgtc1, 8, "u8"),
+    "RGTC2": (bc_pallas.decode_rgtc2, rgj.decode_rgtc2, 16, "u8"),
+    "SIGNED_RGTC1": (bc_pallas.decode_signed_rgtc1,
+                     rgj.decode_signed_rgtc1, 8, "i16"),
+    "SIGNED_RGTC2": (bc_pallas.decode_signed_rgtc2,
+                     rgj.decode_signed_rgtc2, 16, "i16"),
+}
+
+
+@pytest.mark.parametrize("family", list(_BC_RGTC))
+def test_bc_rgtc_pallas_goldens(family, golden):
+    p_fn, _, _, kind = _BC_RGTC[family]
+    g = golden(family)
+    for prefix in ("corpus", "random"):
+        if f"{prefix}_blocks" not in g:
+            continue
+        w = words_from_bytes(g[f"{prefix}_blocks"])
+        pix, valid = p_fn(w, interpret=_INTERPRET, tile=_TILE)
+        out = _pack_kind(pix, kind)
+        valid = np.asarray(valid)
+        out = np.where(valid[:, None], out, 0).astype(np.uint8)
+        np.testing.assert_array_equal(valid, g[f"{prefix}_valid"],
+                                      err_msg=f"{family} {prefix}")
+        np.testing.assert_array_equal(out, g[f"{prefix}_out"],
+                                      err_msg=f"{family} {prefix}")
+    vi = 0
+    while f"variant{vi}_out" in g:
+        w = words_from_bytes(g["random_blocks"])
+        pix, valid = p_fn(w, int(g[f"variant{vi}_mask"]),
+                          int(g[f"variant{vi}_flags"]),
+                          interpret=_INTERPRET, tile=_TILE)
+        out = _pack_kind(pix, kind)
+        valid = np.asarray(valid)
+        out = np.where(valid[:, None], out, 0).astype(np.uint8)
+        np.testing.assert_array_equal(valid, g[f"variant{vi}_valid"],
+                                      err_msg=f"{family} v{vi}")
+        np.testing.assert_array_equal(out, g[f"variant{vi}_out"],
+                                      err_msg=f"{family} v{vi}")
+        vi += 1
+
+
+@pytest.mark.parametrize("family", list(_BC_RGTC))
+def test_bc_rgtc_pallas_random_vs_jnp(family):
+    p_fn, j_fn, bs, _ = _BC_RGTC[family]
+    rng = np.random.default_rng(17)
+    blocks = rng.integers(0, 256, (1500, bs), np.uint8)
+    w = words_from_bytes(blocks)
+    for flags in (0, 1, 2, 4):
+        p0, v0 = j_fn(w, 0xFFFFFFFF, flags)
+        p1, v1 = p_fn(w, 0xFFFFFFFF, flags, interpret=_INTERPRET,
+                      tile=_TILE)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1),
+                                      err_msg=f"{family} fl={flags}")
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1),
+                                      err_msg=f"{family} fl={flags}")

@@ -33,6 +33,9 @@ DRIVES = {
     "ETC2": ("test-texture-ETC2.ktx", [F.RGBA8]),
     "EAC_R11": ("test-texture-EAC_R11.ktx", [F.RGBX8]),
     "BPTC_FLOAT": ("test-texture-BPTC_FLOAT.ktx", [F.FLOAT_RGBX16]),
+    "BC1": ("test-texture-BC1.ktx", [F.RGBA8]),
+    "BC3": ("test-texture-BC3.ktx", [F.RGBA8]),
+    "RGTC2": ("test-texture-RGTC2.ktx", [F.RGBX8]),
 }
 
 

@@ -21,8 +21,9 @@ import jax.numpy as jnp         # noqa: E402
 import numpy as np              # noqa: E402
 from jax import lax             # noqa: E402
 
-from detex_tpu.ops.pallas import (bptc_float_pallas,  # noqa: E402
-                                  bptc_pallas, etc_eac_pallas)
+from detex_tpu.ops.pallas import (bc_pallas,  # noqa: E402
+                                  bptc_float_pallas, bptc_pallas,
+                                  etc_eac_pallas)
 
 N = 1 << 16
 LO, HI = 50, 1050
@@ -36,6 +37,14 @@ FAMILIES = {
     "ETC2_EAC": (etc_eac_pallas.decode_etc2_eac_planar, 16),
     "EAC_R11": (etc_eac_pallas.decode_eac_r11_planar, 8),
     "EAC_RG11": (etc_eac_pallas.decode_eac_rg11_planar, 16),
+    "BC1": (bc_pallas.decode_bc1_planar, 8),
+    "BC1A": (bc_pallas.decode_bc1a_planar, 8),
+    "BC2": (bc_pallas.decode_bc2_planar, 16),
+    "BC3": (bc_pallas.decode_bc3_planar, 16),
+    "RGTC1": (bc_pallas.decode_rgtc1_planar, 8),
+    "RGTC2": (bc_pallas.decode_rgtc2_planar, 16),
+    "SIGNED_RGTC1": (bc_pallas.decode_signed_rgtc1_planar, 8),
+    "SIGNED_RGTC2": (bc_pallas.decode_signed_rgtc2_planar, 16),
 }
 
 
