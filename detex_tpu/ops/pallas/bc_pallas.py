@@ -413,7 +413,7 @@ def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
 
 
 decode_bc1_auto = _auto(decode_bc1, BCJ.decode_bc1, best_tile=1024)
-decode_bc1a_auto = _auto(decode_bc1a, BCJ.decode_bc1a, best_tile=1024)
+decode_bc1a_auto = _auto(decode_bc1a, BCJ.decode_bc1a)
 decode_bc2_auto = _auto(decode_bc2, BCJ.decode_bc2)
 decode_bc3_auto = _auto(decode_bc3, BCJ.decode_bc3)
 decode_rgtc1_auto = _auto(decode_rgtc1, RGJ.decode_rgtc1)
