@@ -89,11 +89,51 @@ def bench_ours(blocks_u8: np.ndarray):
                   "spread_pct": round(100 * (best - worst) / best, 2)}
 
 
-def witness_correctness(blocks_u8: np.ndarray) -> str:
+def clock_canary() -> float:
+    """Session clock/thermal probe: sustained rate of a FIXED synthetic
+    VPU kernel (pure int32 arithmetic chain, no decode logic), measured
+    with the same marginal-rate method as the real bench.  BC7 headline
+    numbers vary 10-20% between tunnel sessions (BASELINE.md:116); this
+    canary is recorded alongside every BENCH number so a slow session
+    is distinguishable from a slow kernel.  Unit: 1e9 int32 ops/s."""
+    import jax.numpy as jnp
+    from jax import lax
+    import functools
+
+    N_OPS_PER_ITER = 256                      # adds+xors per element
+    x = jax.device_put(np.arange(8 * 65536, dtype=np.int32)
+                       .reshape(8, 65536))
+
+    @functools.partial(jax.jit)
+    def run(x, iters):
+        def body(i, acc):
+            v = acc ^ i
+            for k in range(N_OPS_PER_ITER // 2):
+                v = (v + (v >> 7)) ^ (k + 1)
+            return v
+        return lax.fori_loop(0, iters, body, x)[0, 0]
+
+    def t(it):
+        int(run(x, jnp.int32(it)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(run(x, jnp.int32(it)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = 20, 220
+    dt = t(hi) - t(lo)
+    return (hi - lo) * x.size * N_OPS_PER_ITER / dt / 1e9
+
+
+def witness_correctness(blocks_u8: np.ndarray, tile: int = 512) -> str:
     """Bit-compare ONE full batch from the compiled device kernel
-    against the C reference oracle before any timing runs, so every
-    recorded BENCH number is also a hardware-correctness witness
-    (reference analogue: validate.c:188-222's role).
+    against the C reference oracle, so every recorded BENCH number is
+    also a hardware-correctness witness (reference analogue:
+    validate.c:188-222's role).  `tile` must be the tile the timing
+    used — tile changes grid/padding, so witnessing any other tile
+    would witness a different binary.
 
     Returns "ok", "skipped (no oracle)", or raises on miscompare.
     """
@@ -111,7 +151,8 @@ def witness_correctness(blocks_u8: np.ndarray) -> str:
     words_planar = jax.device_put(
         np.asarray(words_from_bytes(blocks_u8)).T.copy())
     pix, valid = jax.jit(
-        lambda wp: bptc_pallas.decode_bptc_planar(wp, interpret=False)
+        lambda wp: bptc_pallas.decode_bptc_planar(wp, tile=tile,
+                                                  interpret=False)
     )(words_planar)
     # np.ascontiguousarray: device fetches can come back F-order, and
     # astype(order='K') preserves that — .view needs C-contiguity.
@@ -166,8 +207,11 @@ def main():
                     | (blocks[:, 0] & (0xFF << (modes + 1)))).astype(
                         np.uint8)
 
-    correctness = witness_correctness(blocks)
+    canary = clock_canary()
     ours, detail = bench_ours(blocks)
+    # Witness the WINNING tile: same tile -> same compiled binary as
+    # the one the timing ran (the compilation cache serves it back).
+    correctness = witness_correctness(blocks, tile=detail["tile"])
     baseline = bench_reference(blocks)
     vs = ours / baseline if baseline > 0 else 0.0
     print(json.dumps({
@@ -178,6 +222,7 @@ def main():
         "tile": detail["tile"],
         "spread_pct": detail["spread_pct"],
         "correctness": correctness,
+        "canary_gops": round(canary, 1),
     }))
 
 

@@ -281,7 +281,8 @@ def down_mul(a, b):
 
 
 # ---------------------------------------------------------------------------
-# HDR gamma==1 mapping (device); gamma!=1 stays host-only (powf LUT)
+# HDR mapping (device): gamma==1 analytic; gamma!=1 via the 65536-entry
+# device-resident gamma LUT gather further below
 # ---------------------------------------------------------------------------
 
 

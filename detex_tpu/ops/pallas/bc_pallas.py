@@ -396,12 +396,6 @@ def decode_signed_rgtc2(words, mode_mask=_FULL, flags=0, **kw):
     return _split_rg(pix, True), valid
 
 
-def decode_signed_rgtc1_rows(words, mode_mask=_FULL, flags=0, **kw):
-    pix, valid = decode_signed_rgtc1(words, mode_mask, flags, **kw)
-    # sign-extend 16-bit patterns (values already in [-32768, 32767])
-    return pix, valid
-
-
 def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
     def fn(words, mode_mask=_FULL, flags=0):
         if jax.default_backend() == "tpu":

@@ -59,7 +59,8 @@ for _c in range(4):
 _DIST = ETCJ.ETC2_DISTANCE_TABLE
 # (a, b) modifier pair packed per codeword row (a <= 47 -> 6 bits):
 # one 8-entry tree per subblock instead of two.
-assert int(_ETC_A.max()) < 64 and int(_ETC_B.max()) < 256
+assert int(_ETC_A.min()) >= 0 and int(_ETC_A.max()) < 64
+assert int(_ETC_B.min()) >= 0 and int(_ETC_B.max()) < 256
 _ETC_AB = (np.asarray(_ETC_A, np.int64)
            | (np.asarray(_ETC_B, np.int64) << 6)).astype(np.int32)
 _OUT_X = ETCJ._OUT_X
