@@ -38,31 +38,41 @@ LAST_BACKEND: str = ""
 
 # compressed-format index -> (decoder, native packer kind)
 # Packer kinds describe the native array -> byte-layout mapping:
-#   u32: (N,16) packed 32-bit pixels; u8/u16/i16: component arrays.
+#   u32  : (N, 16) packed 32-bit RGBA8 pixels
+#   p8   : (N, k) words of 4 packed u8 pixels    (R8)
+#   p8x2 : (N, k) words of 2 packed RG8 pixels
+#   p16  : (N, k) words of 2 packed u16 values   ((SIGNED_)R16)
+#   p16x2: (N, 16) words of one R|G<<16 pixel    ((SIGNED_)RG16)
+#   p16x4: (N, 32) word pairs R|G<<16, B|X<<16   (FLOAT_RGBX16)
+# All kinds are little-endian byte streams equal to the reference
+# decoders' pixel_buffer layouts (detex.h:879-930 pixel sizes) — the
+# kernels emit the TRUE payload, with no write amplification.
 _DECODERS = {
     F.IDX_BC1: (bc_pallas.decode_bc1_auto, "u32"),
     F.IDX_BC1A: (bc_pallas.decode_bc1a_auto, "u32"),
     F.IDX_BC2: (bc_pallas.decode_bc2_auto, "u32"),
     F.IDX_BC3: (bc_pallas.decode_bc3_auto, "u32"),
-    F.IDX_RGTC1: (bc_pallas.decode_rgtc1_auto, "u8"),
-    F.IDX_SIGNED_RGTC1: (bc_pallas.decode_signed_rgtc1_auto, "i16"),
-    F.IDX_RGTC2: (bc_pallas.decode_rgtc2_auto, "u8"),
-    F.IDX_SIGNED_RGTC2: (bc_pallas.decode_signed_rgtc2_auto, "i16"),
-    F.IDX_BPTC_FLOAT: (bptc_float_pallas.decode_bptc_float_auto, "u16"),
-    F.IDX_BPTC_SIGNED_FLOAT: (bptc_float_pallas.decode_bptc_signed_float_auto,
-                              "u16"),
+    F.IDX_RGTC1: (bc_pallas.decode_rgtc1_packed_auto, "p8"),
+    F.IDX_SIGNED_RGTC1: (bc_pallas.decode_signed_rgtc1_packed_auto, "p16"),
+    F.IDX_RGTC2: (bc_pallas.decode_rgtc2_packed_auto, "p8x2"),
+    F.IDX_SIGNED_RGTC2: (bc_pallas.decode_signed_rgtc2_packed_auto,
+                         "p16x2"),
+    F.IDX_BPTC_FLOAT: (bptc_float_pallas.decode_bptc_float_packed_auto,
+                       "p16x4"),
+    F.IDX_BPTC_SIGNED_FLOAT: (
+        bptc_float_pallas.decode_bptc_signed_float_packed_auto, "p16x4"),
     F.IDX_BPTC: (bptc_pallas.decode_bptc_auto, "u32"),
     F.IDX_ETC1: (etc_eac_pallas.decode_etc1_auto, "u32"),
     F.IDX_ETC2: (etc_eac_pallas.decode_etc2_auto, "u32"),
     F.IDX_ETC2_PUNCHTHROUGH: (etc_eac_pallas.decode_etc2_punchthrough_auto,
                               "u32"),
     F.IDX_ETC2_EAC: (etc_eac_pallas.decode_etc2_eac_auto, "u32"),
-    F.IDX_EAC_R11: (etc_eac_pallas.decode_eac_r11_auto, "u16"),
-    F.IDX_EAC_SIGNED_R11: (etc_eac_pallas.decode_eac_signed_r11_auto,
-                           "i16"),
-    F.IDX_EAC_RG11: (etc_eac_pallas.decode_eac_rg11_auto, "u16"),
-    F.IDX_EAC_SIGNED_RG11: (etc_eac_pallas.decode_eac_signed_rg11_auto,
-                            "i16"),
+    F.IDX_EAC_R11: (etc_eac_pallas.decode_eac_r11_packed_auto, "p16"),
+    F.IDX_EAC_SIGNED_R11: (etc_eac_pallas.decode_eac_signed_r11_packed_auto,
+                           "p16"),
+    F.IDX_EAC_RG11: (etc_eac_pallas.decode_eac_rg11_packed_auto, "p16x2"),
+    F.IDX_EAC_SIGNED_RG11: (
+        etc_eac_pallas.decode_eac_signed_rg11_packed_auto, "p16x2"),
 }
 
 
@@ -104,7 +114,9 @@ def _native_bytes(idx: int, pix) -> np.ndarray:
     kind = _DECODERS[idx][1]
     a = np.asarray(pix)
     n = a.shape[0]
-    if kind == "u32":
+    if kind == "u32" or kind.startswith("p"):
+        # Packed words: the little-endian i32 byte stream IS the
+        # reference pixel_buffer layout for every packed kind.
         return np.ascontiguousarray(a).view(np.uint32).view(np.uint8) \
             .reshape(n, -1)
     if kind == "u8":
@@ -141,18 +153,31 @@ def _native_to_typed(idx: int, pix):
     _native_bytes, kept on device).  Runs under jit."""
     import jax.numpy as jnp
     kind = _DECODERS[idx][1]
+    n = pix.shape[0]
     if kind == "u32":
         # Packed 32-bit pixels -> little-endian u8 lanes (R,G,B,A).
         v = pix.astype(jnp.uint32)
         lanes = [(v >> s) & 0xFF for s in (0, 8, 16, 24)]
         return jnp.stack(lanes, axis=-1).astype(jnp.uint8).reshape(-1, 4)
+    if kind in ("p8", "p8x2"):
+        # Packed u8 payload words -> byte stream -> (n_px, lanes).
+        v = pix.astype(jnp.uint32)
+        b = jnp.stack([(v >> s) & 0xFF for s in (0, 8, 16, 24)],
+                      axis=-1).astype(jnp.uint8)
+        lanes = 2 if kind == "p8x2" else 1
+        return b.reshape(n * 16, lanes)
+    if kind in ("p16", "p16x2", "p16x4"):
+        # Packed u16 payload words -> u16 stream -> (n_px, lanes).
+        v = pix.astype(jnp.uint32)
+        h = jnp.stack([v & 0xFFFF, v >> 16], axis=-1).astype(jnp.uint16)
+        lanes = {"p16": 1, "p16x2": 2, "p16x4": 4}[kind]
+        return h.reshape(n * 16, lanes)
     if kind == "u8":
-        return pix.astype(jnp.uint8).reshape(pix.shape[0] * 16, -1)
+        return pix.astype(jnp.uint8).reshape(n * 16, -1)
     if kind == "i16":
         return jax.lax.bitcast_convert_type(
-            pix.astype(jnp.int16), jnp.uint16).reshape(pix.shape[0] * 16,
-                                                       -1)
-    return pix.astype(jnp.uint16).reshape(pix.shape[0] * 16, -1)
+            pix.astype(jnp.int16), jnp.uint16).reshape(n * 16, -1)
+    return pix.astype(jnp.uint16).reshape(n * 16, -1)
 
 
 # 8-bit x 4-lane formats whose mutual conversions are compositions of

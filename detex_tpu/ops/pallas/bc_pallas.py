@@ -253,11 +253,21 @@ def _bc23_kernel(scal_ref, words_ref, pix_ref, valid_ref, *, bc3: bool):
 
 def _rgtc1_kernel(scal_ref, words_ref, pix_ref, valid_ref, *,
                   signed: bool):
+    """Output is the TRUE payload, packed little-endian:
+    unsigned = R8 pixels 4-per-word (4 words/block, 16 B — the
+    reference's pixel_buffer layout, decompress-rgtc.c:26-60);
+    signed = SIGNED_R16 pixels 2-per-word (8 words/block, 32 B)."""
     w0, w1 = words_ref[0], words_ref[1]
     pal, valid = _luma_palette8(w0, signed=signed)
     codes = _codes3(w0, w1)
-    for i in range(16):
-        pix_ref[i] = _sel8(pal, codes[i])
+    px = [_sel8(pal, codes[i]) for i in range(16)]
+    if signed:
+        for w in range(8):
+            pix_ref[w] = (px[2 * w] & 0xFFFF) | _shl(px[2 * w + 1], 16)
+    else:
+        for w in range(4):
+            pix_ref[w] = px[4 * w] | _shl(px[4 * w + 1], 8) \
+                | _shl(px[4 * w + 2], 16) | _shl(px[4 * w + 3], 24)
     if valid is None:
         valid = jnp.ones(w0.shape, bool)
     valid_ref[...] = valid.astype(jnp.int32)
@@ -265,15 +275,25 @@ def _rgtc1_kernel(scal_ref, words_ref, pix_ref, valid_ref, *,
 
 def _rgtc2_kernel(scal_ref, words_ref, pix_ref, valid_ref, *,
                   signed: bool):
+    """Packed true payload: unsigned = RG8 2 pixels/word (8 words,
+    32 B/block); signed = SIGNED_RG16 1 pixel/word (16 words, 64 B) —
+    byte-identical to the reference's channel-interleaved buffers
+    (decompress-rgtc.c:72-77 at shift=1)."""
     rw0, rw1, gw0, gw1 = (words_ref[i] for i in range(4))
     rpal, valid_r = _luma_palette8(rw0, signed=signed)
     gpal, valid_g = _luma_palette8(gw0, signed=signed)
     rcodes = _codes3(rw0, rw1)
     gcodes = _codes3(gw0, gw1)
-    for i in range(16):
-        # R low 16 bits, G high 16 (signed values as u16 bit patterns)
-        pix_ref[i] = (_sel8(rpal, rcodes[i]) & 0xFFFF) \
-            | _shl(_sel8(gpal, gcodes[i]), 16)
+    r = [_sel8(rpal, rcodes[i]) for i in range(16)]
+    g = [_sel8(gpal, gcodes[i]) for i in range(16)]
+    if signed:
+        for i in range(16):
+            # R low 16 bits, G high 16 (signed values as u16 patterns)
+            pix_ref[i] = (r[i] & 0xFFFF) | _shl(g[i], 16)
+    else:
+        for w in range(8):
+            pix_ref[w] = r[2 * w] | _shl(g[2 * w], 8) \
+                | _shl(r[2 * w + 1], 16) | _shl(g[2 * w + 1], 24)
     if valid_r is None:
         valid = jnp.ones(rw0.shape, bool)
     else:
@@ -292,11 +312,10 @@ def _to_i32_scalar(x):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kernel_name", "n_words", "tile",
-                                    "interpret"))
-def _call(words_planar, scal, kernel_name: str, n_words: int, tile: int,
+                   static_argnames=("kernel_name", "tile", "interpret"))
+def _call(words_planar, scal, kernel_name: str, tile: int,
           interpret: bool):
-    kernel = _KERNELS[kernel_name]
+    kernel, n_words, n_out = _KERNELS[kernel_name]
     n = words_planar.shape[1]
     n_pad = -(-n // (8 * tile)) * (8 * tile)
     wp = jnp.pad(words_planar, ((0, 0), (0, n_pad - n)))
@@ -311,35 +330,34 @@ def _call(words_planar, scal, kernel_name: str, n_words: int, tile: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((16, 8, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((n_out, 8, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((16, 8, ell), jnp.int32),
+            jax.ShapeDtypeStruct((n_out, 8, ell), jnp.int32),
             jax.ShapeDtypeStruct((8, ell), jnp.int32),
         ],
         interpret=interpret,
     )(scal, wp)
-    return (pix.reshape(16, n_pad)[:, :n],
+    return (pix.reshape(n_out, n_pad)[:, :n],
             valid.reshape(n_pad)[:n] != 0)
 
 
+# name -> (kernel, input words/block, OUTPUT words/block).  Output
+# word counts are the true payload widths (detex.h:879-930 pixel
+# sizes): RGTC1 16 B, SIGNED_RGTC1/RGTC2 32 B, SIGNED_RGTC2 64 B.
 _KERNELS = {
-    "bc1": functools.partial(_bc1_kernel, bc1a=False),
-    "bc1a": functools.partial(_bc1_kernel, bc1a=True),
-    "bc2": functools.partial(_bc23_kernel, bc3=False),
-    "bc3": functools.partial(_bc23_kernel, bc3=True),
-    "rgtc1": functools.partial(_rgtc1_kernel, signed=False),
-    "signed_rgtc1": functools.partial(_rgtc1_kernel, signed=True),
-    "rgtc2": functools.partial(_rgtc2_kernel, signed=False),
-    "signed_rgtc2": functools.partial(_rgtc2_kernel, signed=True),
+    "bc1": (functools.partial(_bc1_kernel, bc1a=False), 2, 16),
+    "bc1a": (functools.partial(_bc1_kernel, bc1a=True), 2, 16),
+    "bc2": (functools.partial(_bc23_kernel, bc3=False), 4, 16),
+    "bc3": (functools.partial(_bc23_kernel, bc3=True), 4, 16),
+    "rgtc1": (functools.partial(_rgtc1_kernel, signed=False), 2, 4),
+    "signed_rgtc1": (functools.partial(_rgtc1_kernel, signed=True), 2, 8),
+    "rgtc2": (functools.partial(_rgtc2_kernel, signed=False), 4, 8),
+    "signed_rgtc2": (functools.partial(_rgtc2_kernel, signed=True), 4, 16),
 }
-
-_N_WORDS = {"bc1": 2, "bc1a": 2, "bc2": 4, "bc3": 4,
-            "rgtc1": 2, "signed_rgtc1": 2, "rgtc2": 4,
-            "signed_rgtc2": 4}
 
 
 def _decode_planar(kernel_name, words_planar, mode_mask, flags, tile,
@@ -348,8 +366,7 @@ def _decode_planar(kernel_name, words_planar, mode_mask, flags, tile,
         interpret = use_interpret()
     scal = jnp.asarray([_to_i32_scalar(mode_mask), _to_i32_scalar(flags)],
                        jnp.int32)
-    return _call(words_planar, scal, kernel_name, _N_WORDS[kernel_name],
-                 tile, interpret)
+    return _call(words_planar, scal, kernel_name, tile, interpret)
 
 
 def _make_decoder(kernel_name):
@@ -369,31 +386,88 @@ decode_bc1_planar, decode_bc1 = _make_decoder("bc1")
 decode_bc1a_planar, decode_bc1a = _make_decoder("bc1a")
 decode_bc2_planar, decode_bc2 = _make_decoder("bc2")
 decode_bc3_planar, decode_bc3 = _make_decoder("bc3")
-decode_rgtc1_planar, decode_rgtc1 = _make_decoder("rgtc1")
-decode_signed_rgtc1_planar, decode_signed_rgtc1 = \
+decode_rgtc1_planar, decode_rgtc1_packed = _make_decoder("rgtc1")
+decode_signed_rgtc1_planar, decode_signed_rgtc1_packed = \
     _make_decoder("signed_rgtc1")
-decode_rgtc2_planar, _decode_rgtc2_rows = _make_decoder("rgtc2")
-decode_signed_rgtc2_planar, _decode_signed_rgtc2_rows = \
+decode_rgtc2_planar, decode_rgtc2_packed = _make_decoder("rgtc2")
+decode_signed_rgtc2_planar, decode_signed_rgtc2_packed = \
     _make_decoder("signed_rgtc2")
 
 
-def _split_rg(pix_rows, signed):
-    r = pix_rows & 0xFFFF
-    g = lax.shift_right_logical(pix_rows, 16)
+# --- packed <-> per-pixel-value converters (jnp; fuse under jit) -----
+
+def _unpack_u8x4(pk):
+    """(N, k) packed 4xu8 words -> (N, 4k) u8 values as i32."""
+    lanes = [(lax.shift_right_logical(pk, s) & 0xFF) for s in
+             (0, 8, 16, 24)]
+    return jnp.stack(lanes, axis=-1).reshape(pk.shape[0], -1)
+
+
+def _unpack_u16x2(pk, signed):
+    lo = pk & 0xFFFF
+    hi = lax.shift_right_logical(pk, 16)
     if signed:
-        r = (r << 16) >> 16
-        g = (g << 16) >> 16
-    return jnp.stack([r, g], axis=-1)
+        lo = (lo << 16) >> 16
+        hi = (hi << 16) >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(pk.shape[0], -1)
+
+
+def _pack_u8x4(vals):
+    """(N, 4k) u8-valued -> (N, k) packed words (little-endian)."""
+    v = (vals & 0xFF).reshape(vals.shape[0], -1, 4)
+    return (v[:, :, 0] | (v[:, :, 1] << 8) | (v[:, :, 2] << 16)
+            | (v[:, :, 3] << 24))
+
+
+def _pack_u16x2(vals):
+    v = (vals & 0xFFFF).reshape(vals.shape[0], -1, 2)
+    return v[:, :, 0] | (v[:, :, 1] << 16)
+
+
+def decode_rgtc1(words, mode_mask=_FULL, flags=0, **kw):
+    """Back-compat per-pixel view: (N, 16) R8 values as i32."""
+    pk, valid = decode_rgtc1_packed(words, mode_mask, flags, **kw)
+    return _unpack_u8x4(pk), valid
+
+
+def decode_signed_rgtc1(words, mode_mask=_FULL, flags=0, **kw):
+    pk, valid = decode_signed_rgtc1_packed(words, mode_mask, flags, **kw)
+    return _unpack_u16x2(pk, True), valid
 
 
 def decode_rgtc2(words, mode_mask=_FULL, flags=0, **kw):
-    pix, valid = _decode_rgtc2_rows(words, mode_mask, flags, **kw)
-    return _split_rg(pix, False), valid
+    pk, valid = decode_rgtc2_packed(words, mode_mask, flags, **kw)
+    rg = _unpack_u8x4(pk)                       # (N, 32) r,g interleaved
+    return rg.reshape(rg.shape[0], 16, 2), valid
 
 
 def decode_signed_rgtc2(words, mode_mask=_FULL, flags=0, **kw):
-    pix, valid = _decode_signed_rgtc2_rows(words, mode_mask, flags, **kw)
-    return _split_rg(pix, True), valid
+    pk, valid = decode_signed_rgtc2_packed(words, mode_mask, flags, **kw)
+    rg = _unpack_u16x2(pk, True)
+    return rg.reshape(rg.shape[0], 16, 2), valid
+
+
+# jnp-oracle packed fallbacks (CPU path of the *_packed_auto
+# dispatchers): bit-identical packed words from the jnp decoders.
+
+def _rgtc1_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = RGJ.decode_rgtc1(words, mode_mask, flags)
+    return _pack_u8x4(vals), valid
+
+
+def _signed_rgtc1_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = RGJ.decode_signed_rgtc1(words, mode_mask, flags)
+    return _pack_u16x2(vals), valid
+
+
+def _rgtc2_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = RGJ.decode_rgtc2(words, mode_mask, flags)
+    return _pack_u8x4(vals.reshape(vals.shape[0], 32)), valid
+
+
+def _signed_rgtc2_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = RGJ.decode_signed_rgtc2(words, mode_mask, flags)
+    return _pack_u16x2(vals.reshape(vals.shape[0], 32)), valid
 
 
 def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
@@ -416,3 +490,13 @@ decode_signed_rgtc1_auto = _auto(decode_signed_rgtc1,
                                  RGJ.decode_signed_rgtc1)
 decode_signed_rgtc2_auto = _auto(decode_signed_rgtc2,
                                  RGJ.decode_signed_rgtc2)
+
+# Packed-payload autos (the engine's decode path): rows of packed
+# payload words straight from the kernel — no post-kernel unpack, no
+# write amplification.
+decode_rgtc1_packed_auto = _auto(decode_rgtc1_packed, _rgtc1_jnp_packed)
+decode_rgtc2_packed_auto = _auto(decode_rgtc2_packed, _rgtc2_jnp_packed)
+decode_signed_rgtc1_packed_auto = _auto(decode_signed_rgtc1_packed,
+                                        _signed_rgtc1_jnp_packed)
+decode_signed_rgtc2_packed_auto = _auto(decode_signed_rgtc2_packed,
+                                        _signed_rgtc2_jnp_packed)

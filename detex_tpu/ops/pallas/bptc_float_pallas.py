@@ -10,9 +10,11 @@ per-block work is pure VPU with no gathers.  Partition subset bits,
 anchors-before counts, and anchor bitmaps for the 2-subset modes are
 bit-packed per partition id and gathered by 32-way select trees.
 
-Layout identical to bptc_pallas: words (4, 8, L) int32 in; output is a
-(48, 8, L) int32 plane stack (rows 0-15 R, 16-31 G, 32-47 B; u16 bit
-patterns) plus (8, L) validity.
+Layout identical to bptc_pallas: words (4, 8, L) int32 in; output is
+the TRUE FLOAT_RGBX16 payload (detex.h:879-930: 8 B/pixel), packed as
+a (32, 8, L) int32 stack — rows 2i = R|G<<16, rows 2i+1 = B|X<<16
+(X = 0) for pixel i — plus (8, L) validity.  128 B out per block, no
+write amplification.
 """
 
 from __future__ import annotations
@@ -285,6 +287,7 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
         wgt = _shr((_shl(idx, 6) + wm_c) * wm_mul, wm_sh)
         subset1 = (_shr(sub16, i) & 1) != 0
         sub_hi = ~ns1 & subset1
+        vals = []
         for ci, c in enumerate("rgb"):
             base = jnp.where(sub_hi, ibase[f"{c}1"], ibase[f"{c}0"])
             dlt = jnp.where(sub_hi, idlt[f"{c}1"], idlt[f"{c}0"])
@@ -295,7 +298,11 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
                 v = jnp.where(scaled < 0, (-scaled) | 0x8000, scaled)
             else:
                 v = _shr(v * 31, 6)
-            out_ref[16 * ci + i] = v
+            vals.append(v)
+        # Packed FLOAT_RGBX16 payload: R|G<<16, B|X<<16 with X = 0
+        # (both u16 patterns; values verified < 2^16 by goldens/fuzz).
+        out_ref[2 * i] = vals[0] | _shl(vals[1], 16)
+        out_ref[2 * i + 1] = vals[2]
 
     mm = jnp.broadcast_to(scal_ref[0], mode.shape)
     bit = jnp.clip(mode_raw, 0, 31)
@@ -325,26 +332,27 @@ def _call(words_planar, scal, signed: bool, tile: int, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((48, 8, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((32, 8, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((48, 8, ell), jnp.int32),
+            jax.ShapeDtypeStruct((32, 8, ell), jnp.int32),
             jax.ShapeDtypeStruct((8, ell), jnp.int32),
         ],
         interpret=interpret,
     )(scal, wp)
-    return (out.reshape(48, n_pad)[:, :n],
+    return (out.reshape(32, n_pad)[:, :n],
             valid.reshape(n_pad)[:n] != 0)
 
 
 def decode_bptc_float_planar(words_planar, mode_mask: int = _FULL,
                              flags: int = 0, *, signed: bool = False,
                              tile: int = 512, interpret: bool | None = None):
-    """BC6H decode, planar: (4, N) words -> ((48, N) int32 R/G/B u16
-    plane stack, (N,) bool valid)."""
+    """BC6H decode, planar: (4, N) words -> ((32, N) int32 packed
+    FLOAT_RGBX16 payload — rows 2i = R|G<<16, 2i+1 = B|X<<16 — plus
+    (N,) bool valid)."""
     if interpret is None:
         interpret = use_interpret()
     scal = jnp.asarray([_to_i32_scalar(mode_mask), _to_i32_scalar(flags)],
@@ -352,13 +360,17 @@ def decode_bptc_float_planar(words_planar, mode_mask: int = _FULL,
     return _call(words_planar, scal, signed, tile, interpret)
 
 
-def _rows(words, mode_mask, flags, signed, **kw):
+def _rows_packed(words, mode_mask, flags, signed, **kw):
     out, valid = decode_bptc_float_planar(words.T, mode_mask, flags,
                                           signed=signed, **kw)
-    n = words.shape[0]
-    rgb = out.reshape(3, 16, n).transpose(2, 1, 0)      # (N, 16, 3)
-    pix = jnp.concatenate(
-        [rgb, jnp.zeros((n, 16, 1), jnp.int32)], axis=-1)
+    return out.T, valid                                 # (N, 32)
+
+
+def _rows(words, mode_mask, flags, signed, **kw):
+    pk, valid = _rows_packed(words, mode_mask, flags, signed, **kw)
+    lo = pk & 0xFFFF
+    hi = lax.shift_right_logical(pk, 16)
+    pix = jnp.stack([lo, hi], axis=-1).reshape(pk.shape[0], 16, 4)
     return pix, valid
 
 
@@ -373,12 +385,35 @@ def decode_bptc_signed_float(words, mode_mask: int = _FULL, flags: int = 0,
     return _rows(words, mode_mask, flags, True, **kw)
 
 
-def _auto(signed):
+def decode_bptc_float_packed(words, mode_mask: int = _FULL, flags: int = 0,
+                             **kw):
+    """(N, 4) int32 -> ((N, 32) int32 packed FLOAT_RGBX16 payload
+    words, (N,) bool): the kernel's native output, no unpack."""
+    return _rows_packed(words, mode_mask, flags, False, **kw)
+
+
+def decode_bptc_signed_float_packed(words, mode_mask: int = _FULL,
+                                    flags: int = 0, **kw):
+    return _rows_packed(words, mode_mask, flags, True, **kw)
+
+
+def _jnp_packed(words, mode_mask, flags, signed):
+    jfn = (BFJ.decode_bptc_signed_float if signed
+           else BFJ.decode_bptc_float)
+    pix, valid = jfn(words, mode_mask, flags)           # (N, 16, 4)
+    v = (pix & 0xFFFF).reshape(pix.shape[0], 32, 2)
+    return v[:, :, 0] | _shl(v[:, :, 1], 16), valid
+
+
+def _auto(signed, packed=False):
     def fn(words, mode_mask=_FULL, flags=0):
         if jax.default_backend() == "tpu":
             tile = 512 if words.shape[0] >= 8 * 512 else 128
-            return _rows(words, mode_mask, flags, signed, tile=tile,
-                         interpret=False)
+            rows_fn = _rows_packed if packed else _rows
+            return rows_fn(words, mode_mask, flags, signed, tile=tile,
+                           interpret=False)
+        if packed:
+            return _jnp_packed(words, mode_mask, flags, signed)
         jfn = (BFJ.decode_bptc_signed_float if signed
                else BFJ.decode_bptc_float)
         return jfn(words, mode_mask, flags)
@@ -387,3 +422,5 @@ def _auto(signed):
 
 decode_bptc_float_auto = _auto(False)
 decode_bptc_signed_float_auto = _auto(True)
+decode_bptc_float_packed_auto = _auto(False, packed=True)
+decode_bptc_signed_float_packed_auto = _auto(True, packed=True)

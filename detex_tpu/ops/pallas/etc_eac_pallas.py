@@ -466,10 +466,13 @@ def _etc2_eac_kernel(scal_ref, words_ref, pix_ref, valid_ref):
 
 
 def _eac_r11_kernel(scal_ref, words_ref, pix_ref, valid_ref, *, signed):
+    """Output is the TRUE payload: (SIGNED_)R16 pixels packed
+    2-per-word (8 words = 32 B/block, the reference's pixel_buffer
+    width; decompress-eac.c:111-128)."""
     w0, w1 = words_ref[0], words_ref[1]
     vals, valid = _eac11_pixels(w0, w1, signed=signed)
-    for j in range(16):
-        pix_ref[j] = vals[j]
+    for w in range(8):
+        pix_ref[w] = (vals[2 * w] & 0xFFFF) | _shl(vals[2 * w + 1], 16)
     if valid is None:
         valid = jnp.ones(w0.shape, bool)
     valid_ref[...] = valid.astype(jnp.int32)
@@ -500,11 +503,10 @@ def _to_i32_scalar(x):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kernel_name", "n_words", "tile",
-                                    "interpret"))
-def _call(words_planar, scal, kernel_name: str, n_words: int, tile: int,
+                   static_argnames=("kernel_name", "tile", "interpret"))
+def _call(words_planar, scal, kernel_name: str, tile: int,
           interpret: bool):
-    kernel = _KERNELS[kernel_name]
+    kernel, n_words, n_out = _KERNELS[kernel_name]
     n = words_planar.shape[1]
     n_pad = -(-n // (8 * tile)) * (8 * tile)
     wp = jnp.pad(words_planar, ((0, 0), (0, n_pad - n)))
@@ -519,35 +521,37 @@ def _call(words_planar, scal, kernel_name: str, n_words: int, tile: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((16, 8, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((n_out, 8, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((16, 8, ell), jnp.int32),
+            jax.ShapeDtypeStruct((n_out, 8, ell), jnp.int32),
             jax.ShapeDtypeStruct((8, ell), jnp.int32),
         ],
         interpret=interpret,
     )(scal, wp)
-    return (pix.reshape(16, n_pad)[:, :n],
+    return (pix.reshape(n_out, n_pad)[:, :n],
             valid.reshape(n_pad)[:n] != 0)
 
 
+# name -> (kernel, input words/block, OUTPUT words/block).  The ETC
+# family outputs packed RGBA8 (64 B = true payload); the EAC 11-bit
+# kernels output packed 16-bit payloads (R16 32 B, RG16 64 B;
+# detex.h:879-930 pixel sizes).
 _KERNELS = {
-    "etc1": _etc1_kernel,
-    "etc2": _etc2_kernel,
-    "etc2_pt": _etc2_pt_kernel,
-    "etc2_eac": _etc2_eac_kernel,
-    "eac_r11": functools.partial(_eac_r11_kernel, signed=False),
-    "eac_signed_r11": functools.partial(_eac_r11_kernel, signed=True),
-    "eac_rg11": functools.partial(_eac_rg11_kernel, signed=False),
-    "eac_signed_rg11": functools.partial(_eac_rg11_kernel, signed=True),
+    "etc1": (_etc1_kernel, 2, 16),
+    "etc2": (_etc2_kernel, 2, 16),
+    "etc2_pt": (_etc2_pt_kernel, 2, 16),
+    "etc2_eac": (_etc2_eac_kernel, 4, 16),
+    "eac_r11": (functools.partial(_eac_r11_kernel, signed=False), 2, 8),
+    "eac_signed_r11": (functools.partial(_eac_r11_kernel, signed=True),
+                       2, 8),
+    "eac_rg11": (functools.partial(_eac_rg11_kernel, signed=False), 4, 16),
+    "eac_signed_rg11": (functools.partial(_eac_rg11_kernel, signed=True),
+                        4, 16),
 }
-
-_N_WORDS = {"etc1": 2, "etc2": 2, "etc2_pt": 2, "etc2_eac": 4,
-            "eac_r11": 2, "eac_signed_r11": 2, "eac_rg11": 4,
-            "eac_signed_rg11": 4}
 
 
 def _decode_planar(kernel_name, words_planar, mode_mask, flags, tile,
@@ -556,8 +560,7 @@ def _decode_planar(kernel_name, words_planar, mode_mask, flags, tile,
         interpret = use_interpret()
     scal = jnp.asarray([_to_i32_scalar(mode_mask), _to_i32_scalar(flags)],
                        jnp.int32)
-    return _call(words_planar, scal, kernel_name, _N_WORDS[kernel_name],
-                 tile, interpret)
+    return _call(words_planar, scal, kernel_name, tile, interpret)
 
 
 def _make_decoder(kernel_name):
@@ -578,41 +581,71 @@ decode_etc2_planar, decode_etc2 = _make_decoder("etc2")
 decode_etc2_punchthrough_planar, decode_etc2_punchthrough = \
     _make_decoder("etc2_pt")
 decode_etc2_eac_planar, decode_etc2_eac = _make_decoder("etc2_eac")
-decode_eac_r11_planar, _decode_eac_r11_rows = _make_decoder("eac_r11")
-decode_eac_signed_r11_planar, _decode_eac_signed_r11_rows = \
+decode_eac_r11_planar, decode_eac_r11_packed = _make_decoder("eac_r11")
+decode_eac_signed_r11_planar, decode_eac_signed_r11_packed = \
     _make_decoder("eac_signed_r11")
-decode_eac_rg11_planar, _decode_eac_rg11_rows = _make_decoder("eac_rg11")
-decode_eac_signed_rg11_planar, _decode_eac_signed_rg11_rows = \
+decode_eac_rg11_planar, decode_eac_rg11_packed = _make_decoder("eac_rg11")
+decode_eac_signed_rg11_planar, decode_eac_signed_rg11_packed = \
     _make_decoder("eac_signed_rg11")
 
 
+def _unpack_u16x2(pk, signed):
+    lo = pk & 0xFFFF
+    hi = lax.shift_right_logical(pk, 16)
+    if signed:
+        lo = (lo << 16) >> 16
+        hi = (hi << 16) >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(pk.shape[0], -1)
+
+
+def _pack_u16x2(vals):
+    v = (vals & 0xFFFF).reshape(vals.shape[0], -1, 2)
+    return v[:, :, 0] | _shl(v[:, :, 1], 16)
+
+
 def decode_eac_r11(words, mode_mask=_FULL, flags=0, **kw):
-    return _decode_eac_r11_rows(words, mode_mask, flags, **kw)
+    """Back-compat per-pixel view: (N, 16) R16 values as i32."""
+    pk, valid = decode_eac_r11_packed(words, mode_mask, flags, **kw)
+    return _unpack_u16x2(pk, False), valid
 
 
 def decode_eac_signed_r11(words, mode_mask=_FULL, flags=0, **kw):
-    pix, valid = _decode_eac_signed_r11_rows(words, mode_mask, flags, **kw)
-    # sign-extend the 16-bit value (kernel packs raw bit pattern)
-    return (pix << 16) >> 16, valid
-
-
-def _split_rg(pix_rows, signed):
-    r = pix_rows & 0xFFFF
-    g = lax.shift_right_logical(pix_rows, 16)
-    if signed:
-        r = (r << 16) >> 16
-        g = (g << 16) >> 16
-    return jnp.stack([r, g], axis=-1)
+    pk, valid = decode_eac_signed_r11_packed(words, mode_mask, flags, **kw)
+    return _unpack_u16x2(pk, True), valid
 
 
 def decode_eac_rg11(words, mode_mask=_FULL, flags=0, **kw):
-    pix, valid = _decode_eac_rg11_rows(words, mode_mask, flags, **kw)
-    return _split_rg(pix, False), valid
+    pk, valid = decode_eac_rg11_packed(words, mode_mask, flags, **kw)
+    rg = _unpack_u16x2(pk, False)
+    return rg.reshape(rg.shape[0], 16, 2), valid
 
 
 def decode_eac_signed_rg11(words, mode_mask=_FULL, flags=0, **kw):
-    pix, valid = _decode_eac_signed_rg11_rows(words, mode_mask, flags, **kw)
-    return _split_rg(pix, True), valid
+    pk, valid = decode_eac_signed_rg11_packed(words, mode_mask, flags, **kw)
+    rg = _unpack_u16x2(pk, True)
+    return rg.reshape(rg.shape[0], 16, 2), valid
+
+
+# jnp-oracle packed fallbacks (CPU path of *_packed_auto).
+
+def _eac_r11_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = EACJ.decode_eac_r11(words, mode_mask, flags)
+    return _pack_u16x2(vals), valid
+
+
+def _eac_signed_r11_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = EACJ.decode_eac_signed_r11(words, mode_mask, flags)
+    return _pack_u16x2(vals), valid
+
+
+def _eac_rg11_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = EACJ.decode_eac_rg11(words, mode_mask, flags)
+    return _pack_u16x2(vals.reshape(vals.shape[0], 32)), valid
+
+
+def _eac_signed_rg11_jnp_packed(words, mode_mask=_FULL, flags=0):
+    vals, valid = EACJ.decode_eac_signed_rg11(words, mode_mask, flags)
+    return _pack_u16x2(vals.reshape(vals.shape[0], 32)), valid
 
 
 def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
@@ -644,3 +677,14 @@ decode_eac_rg11_auto = _auto(decode_eac_rg11, EACJ.decode_eac_rg11,
 decode_eac_signed_rg11_auto = _auto(decode_eac_signed_rg11,
                                     EACJ.decode_eac_signed_rg11,
                                     best_tile=256)
+
+# Packed-payload autos (the engine's decode path).
+decode_eac_r11_packed_auto = _auto(decode_eac_r11_packed,
+                                   _eac_r11_jnp_packed)
+decode_eac_signed_r11_packed_auto = _auto(decode_eac_signed_r11_packed,
+                                          _eac_signed_r11_jnp_packed)
+decode_eac_rg11_packed_auto = _auto(decode_eac_rg11_packed,
+                                    _eac_rg11_jnp_packed, best_tile=256)
+decode_eac_signed_rg11_packed_auto = _auto(decode_eac_signed_rg11_packed,
+                                           _eac_signed_rg11_jnp_packed,
+                                           best_tile=256)

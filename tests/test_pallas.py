@@ -280,3 +280,50 @@ def test_bc_rgtc_pallas_random_vs_jnp(family):
                                       err_msg=f"{family} fl={flags}")
         np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1),
                                       err_msg=f"{family} fl={flags}")
+
+
+# --- packed-payload entry points (the engine's decode path) ----------
+# family -> (packed decoder, golden family, block bytes, payload bytes)
+_PACKED = {
+    "RGTC1": (bc_pallas.decode_rgtc1_packed, 8, 16),
+    "RGTC2": (bc_pallas.decode_rgtc2_packed, 16, 32),
+    "SIGNED_RGTC1": (bc_pallas.decode_signed_rgtc1_packed, 8, 32),
+    "SIGNED_RGTC2": (bc_pallas.decode_signed_rgtc2_packed, 16, 64),
+    "EAC_R11": (etc_eac_pallas.decode_eac_r11_packed, 8, 32),
+    "EAC_SIGNED_R11": (etc_eac_pallas.decode_eac_signed_r11_packed,
+                       8, 32),
+    "EAC_RG11": (etc_eac_pallas.decode_eac_rg11_packed, 16, 64),
+    "EAC_SIGNED_RG11": (etc_eac_pallas.decode_eac_signed_rg11_packed,
+                        16, 64),
+    "BPTC_FLOAT": (
+        functools.partial(bptc_float_pallas.decode_bptc_float_packed),
+        16, 128),
+    "BPTC_SIGNED_FLOAT": (
+        functools.partial(bptc_float_pallas.decode_bptc_signed_float_packed),
+        16, 128),
+}
+
+
+@pytest.mark.parametrize("family", list(_PACKED))
+def test_packed_payload_vs_goldens(family, golden):
+    """The packed kernels' little-endian byte stream must equal the
+    golden native pixel bytes exactly — the packed word layout IS the
+    reference pixel_buffer layout (detex.h:879-930), with zero write
+    amplification (payload bytes asserted too)."""
+    p_fn, _bs, payload = _PACKED[family]
+    g = golden(family)
+    for prefix in ("corpus", "random"):
+        if f"{prefix}_blocks" not in g:
+            continue
+        w = words_from_bytes(g[f"{prefix}_blocks"])
+        pk, valid = p_fn(w, interpret=_INTERPRET, tile=_TILE)
+        assert pk.shape[1] * 4 == payload, \
+            f"{family}: {pk.shape[1] * 4} B/block != payload {payload}"
+        out = np.ascontiguousarray(np.asarray(pk)).view(np.uint32) \
+            .view(np.uint8).reshape(pk.shape[0], -1)
+        valid = np.asarray(valid)
+        out = np.where(valid[:, None], out, 0).astype(np.uint8)
+        np.testing.assert_array_equal(valid, g[f"{prefix}_valid"],
+                                      err_msg=f"{family} {prefix}")
+        np.testing.assert_array_equal(out, g[f"{prefix}_out"],
+                                      err_msg=f"{family} {prefix}")
