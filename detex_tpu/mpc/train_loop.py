@@ -103,6 +103,82 @@ class SyntheticVisualEnv:
                 "next_obs": self.render(z_next)}
 
 
+class CorpusReplayEnv:
+    """Replay env serving REAL BC7 corpus blocks as observations
+    (VERDICT r3 #6): where SyntheticVisualEnv only emits mode-6
+    grayscale / mode-5 solid blocks (ops/bptc_encode.py), this env
+    draws observation blocks from a pool of
+
+      * every block of the reference corpus texture
+        test-texture-BPTC.ktx (256 mode-3 two-subset blocks,
+        decompress-bptc.c:371-508 partition path), when the file is
+        readable, and
+      * a deterministic set of uniform-mode-prefix random blocks —
+        every BC7 mode 0-7 incl. the rotated/dual-stream modes 4-5
+        and the 3-subset modes 0/2 (any bitstring behind a valid mode
+        prefix is a valid BC7 block),
+
+    so the *trained* path decodes multi-subset, rotated and
+    dual-stream blocks in-graph, not just the encoder's two modes.
+    Actions/next-obs follow the same hidden linear system contract as
+    SyntheticVisualEnv (obs are not state-dependent — this env is for
+    integration coverage, not model quality)."""
+
+    CORPUS_PATH = "/root/reference/test-texture-BPTC.ktx"
+
+    def __init__(self, cfg: D.DynamicsConfig, seed: int = 0,
+                 corpus_path: Optional[str] = None, pool_random: int = 1024):
+        rng = np.random.default_rng(seed)
+        self.cfg = cfg
+        pool = []
+        path = corpus_path or self.CORPUS_PATH
+        try:
+            from detex_tpu.io import ktx as ktx_io
+            tex = ktx_io.load_ktx(path)[0]
+            corpus = np.ascontiguousarray(
+                tex.data.reshape(tex.n_blocks, 16)).view(np.uint32) \
+                .astype(np.int64).astype(np.int32)
+            pool.append(corpus)
+        except (OSError, ValueError):
+            pass                     # no corpus file: random pool only
+        rand = rng.integers(0, 256, (pool_random, 16), np.uint8)
+        modes = np.arange(pool_random) % 8
+        rand[:, 0] = ((1 << modes)
+                      | (rand[:, 0].astype(np.int64)
+                         & (0xFF << (modes + 1)))).astype(np.uint8)
+        pool.append(np.ascontiguousarray(rand).view(np.uint32)
+                    .astype(np.int64).astype(np.int32))
+        self.pool = np.concatenate(pool)        # (P, 4) int32 words
+        self.n_blocks = (cfg.image_size // 4) ** 2
+
+    @property
+    def modes_present(self) -> set:
+        b0 = self.pool[:, 0].astype(np.int64) & 0xFF
+        present = set()
+        for m in range(8):
+            if np.any((b0 & ((1 << (m + 1)) - 1)) == (1 << m)):
+                present.add(m)
+        return present
+
+    def _draw_words(self, rng: np.random.Generator,
+                    batch_size: int) -> np.ndarray:
+        idx = rng.integers(0, self.pool.shape[0],
+                           (batch_size, self.n_blocks))
+        return self.pool[idx]                   # (B, n_blocks, 4)
+
+    def obs_words(self, rng: np.random.Generator) -> np.ndarray:
+        """(n_blocks, 4) int32 — one observation for control_step."""
+        return self._draw_words(rng, 1)[0]
+
+    def sample_batch(self, rng: np.random.Generator,
+                     batch_size: int) -> Dict[str, np.ndarray]:
+        u = rng.uniform(-1, 1, (batch_size, self.cfg.action_dim)) \
+            .astype(np.float32)
+        return {"obs_words": self._draw_words(rng, batch_size),
+                "action": u,
+                "next_obs_words": self._draw_words(rng, batch_size)}
+
+
 def make_train_step(dcfg: D.DynamicsConfig, optimizer,
                     compressed_obs: bool = False):
     """Jitted train step; with compressed_obs the batch carries

@@ -2,6 +2,7 @@
 env over the sharded mesh; checkpoint/resume is deterministic; the
 DCN/ICI host mesh machinery composes with shard_map reductions."""
 
+import functools
 import io
 
 import jax
@@ -119,3 +120,65 @@ def test_host_mesh_psum():
 
     out = total(x)
     np.testing.assert_allclose(np.asarray(out)[0], x.sum())
+
+
+def test_corpus_replay_env_mode_diversity():
+    """CorpusReplayEnv (VERDICT r3 #6): the trained path must see
+    multi-subset, rotated and dual-stream BC7 blocks — all 8 modes in
+    the pool, and a sampled batch covering them; the train step and
+    the control step both run over replay observations in-graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from detex_tpu.mpc import dynamics as D
+    from detex_tpu.mpc import mppi as M
+    from detex_tpu.mpc.runtime import ControllerConfig, control_step
+    from detex_tpu.mpc.train_loop import (CorpusReplayEnv, TrainConfig,
+                                          make_train_step)
+
+    cfg = TrainConfig(compressed_obs=True)
+    dcfg = cfg.dynamics
+    env = CorpusReplayEnv(dcfg, seed=0)
+    assert env.modes_present == set(range(8)), env.modes_present
+
+    rng = np.random.default_rng(0)
+    batch = env.sample_batch(rng, 16)
+    assert batch["obs_words"].shape == (16, env.n_blocks, 4)
+    # The sampled batch itself covers every mode (16*64 draws from a
+    # pool that is >=1/8 per mode makes a miss astronomically rare).
+    b0 = batch["obs_words"][:, :, 0].astype(np.int64) & 0xFF
+    seen = {m for m in range(8)
+            if np.any((b0 & ((1 << (m + 1)) - 1)) == (1 << m))}
+    assert seen == set(range(8)), seen
+
+    params = D.init_params(jax.random.PRNGKey(0), dcfg)
+    opt = D.make_optimizer(cfg.lr)
+    opt_state = opt.init(params)
+    step_fn = make_train_step(dcfg, opt, compressed_obs=True)
+    params, opt_state, loss = step_fn(params, opt_state,
+                                      jax.tree.map(jnp.asarray, batch))
+    assert np.isfinite(float(loss))
+
+    ccfg = ControllerConfig(
+        dynamics=dcfg,
+        mppi=M.MPPIConfig(n_rollouts=32, horizon=4,
+                          action_dim=dcfg.action_dim))
+    action, _, diag = jax.jit(
+        functools.partial(control_step, cfg=ccfg))(
+        params, jnp.zeros((4, dcfg.action_dim), jnp.float32),
+        jax.random.PRNGKey(1), jnp.asarray(env.obs_words(rng)),
+        jnp.zeros((dcfg.latent_dim,), jnp.float32))
+    assert np.isfinite(float(diag["min_cost"]))
+    assert np.asarray(action).shape == (dcfg.action_dim,)
+
+
+def test_corpus_replay_env_without_corpus_file(tmp_path):
+    """Missing corpus file degrades to the random-mode pool (the env
+    must work on machines without /root/reference)."""
+    from detex_tpu.mpc.train_loop import CorpusReplayEnv, TrainConfig
+
+    cfg = TrainConfig(compressed_obs=True)
+    env = CorpusReplayEnv(cfg.dynamics, seed=1,
+                          corpus_path=str(tmp_path / "nope.ktx"))
+    assert env.modes_present == set(range(8))
+    assert env.pool.shape == (1024, 4)
