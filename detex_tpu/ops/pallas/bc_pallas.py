@@ -97,6 +97,36 @@ def _sel8(p, code):
     return jnp.where((code & 4) != 0, hi, lo)
 
 
+def _pack_pal8_u8(p):
+    """8 u8-valued entries -> two packed words (entries 0-3, 4-7)."""
+    lo = p[0] | _shl(p[1], 8) | _shl(p[2], 16) | _shl(p[3], 24)
+    hi = p[4] | _shl(p[5], 8) | _shl(p[6], 16) | _shl(p[7], 24)
+    return lo, hi
+
+
+def _sel8_packed_u8(palo, pahi, code):
+    """p[code] for a u8 palette packed 4-per-word: ONE cmpsel + a
+    variable byte shift instead of the 7-cmpsel select tree (the
+    RGTC/BC3-alpha kernels are compute-bound, not HBM-bound — see
+    BASELINE round-4 table — so retiring selects is the lever)."""
+    w = jnp.where((code & 4) != 0, pahi, palo)
+    return _shr(w, _shl(code & 3, 3)) & 0xFF
+
+
+def _pack_pal8_u16(p):
+    """8 16-bit-valued entries -> four packed words (pairs)."""
+    return [(p[2 * i] & 0xFFFF) | _shl(p[2 * i + 1], 16)
+            for i in range(4)]
+
+
+def _sel8_packed_u16(pw, code):
+    """p[code] for a 16-bit palette packed 2-per-word: 3 cmpsel + a
+    variable half-word shift instead of 7 cmpsel.  Returns the raw
+    16-bit pattern (caller sign-extends if needed)."""
+    w = _sel4(pw, _shr(code, 1))
+    return _shr(w, _shl(code & 1, 4)) & 0xFFFF
+
+
 def _expand_565(colors):
     """(8, L) int32 word -> 6 channel endpoint vectors (<<3 / <<2
     shift-only expansion, decompress-bc.c:34-39)."""
@@ -230,11 +260,12 @@ def _bc23_kernel(scal_ref, words_ref, pix_ref, valid_ref, *, bc3: bool):
     pal = _pack_palette(r, g, b, (zero,) * 4)   # alpha added per pixel
     if bc3:
         apal, _ = _luma_palette8(aw0, signed=False)
+        apalo, apahi = _pack_pal8_u8(apal)
         codes = _codes3(aw0, aw1)
     for i in range(16):
         rgb = _sel4(pal, _shr(idxw, 2 * i) & 3)
         if bc3:
-            a = _sel8(apal, codes[i])
+            a = _sel8_packed_u8(apalo, apahi, codes[i])
         else:
             # BC2 explicit 4-bit alpha: *255/15 == *17 exactly.
             a4 = _shr(aw0 if i < 8 else aw1, (4 * i) % 32) & 0xF
@@ -260,11 +291,15 @@ def _rgtc1_kernel(scal_ref, words_ref, pix_ref, valid_ref, *,
     w0, w1 = words_ref[0], words_ref[1]
     pal, valid = _luma_palette8(w0, signed=signed)
     codes = _codes3(w0, w1)
-    px = [_sel8(pal, codes[i]) for i in range(16)]
     if signed:
+        pw = _pack_pal8_u16(pal)
+        px = [_sel8_packed_u16(pw, codes[i]) for i in range(16)]
         for w in range(8):
-            pix_ref[w] = (px[2 * w] & 0xFFFF) | _shl(px[2 * w + 1], 16)
+            # select already masks to the 16-bit pattern
+            pix_ref[w] = px[2 * w] | _shl(px[2 * w + 1], 16)
     else:
+        palo, pahi = _pack_pal8_u8(pal)
+        px = [_sel8_packed_u8(palo, pahi, codes[i]) for i in range(16)]
         for w in range(4):
             pix_ref[w] = px[4 * w] | _shl(px[4 * w + 1], 8) \
                 | _shl(px[4 * w + 2], 16) | _shl(px[4 * w + 3], 24)
@@ -284,13 +319,18 @@ def _rgtc2_kernel(scal_ref, words_ref, pix_ref, valid_ref, *,
     gpal, valid_g = _luma_palette8(gw0, signed=signed)
     rcodes = _codes3(rw0, rw1)
     gcodes = _codes3(gw0, gw1)
-    r = [_sel8(rpal, rcodes[i]) for i in range(16)]
-    g = [_sel8(gpal, gcodes[i]) for i in range(16)]
     if signed:
+        rpw = _pack_pal8_u16(rpal)
+        gpw = _pack_pal8_u16(gpal)
         for i in range(16):
             # R low 16 bits, G high 16 (signed values as u16 patterns)
-            pix_ref[i] = (r[i] & 0xFFFF) | _shl(g[i], 16)
+            pix_ref[i] = _sel8_packed_u16(rpw, rcodes[i]) \
+                | _shl(_sel8_packed_u16(gpw, gcodes[i]), 16)
     else:
+        rlo, rhi = _pack_pal8_u8(rpal)
+        glo, ghi = _pack_pal8_u8(gpal)
+        r = [_sel8_packed_u8(rlo, rhi, rcodes[i]) for i in range(16)]
+        g = [_sel8_packed_u8(glo, ghi, gcodes[i]) for i in range(16)]
         for w in range(8):
             pix_ref[w] = r[2 * w] | _shl(g[2 * w], 8) \
                 | _shl(r[2 * w + 1], 16) | _shl(g[2 * w + 1], 24)

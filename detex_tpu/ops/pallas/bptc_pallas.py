@@ -104,6 +104,31 @@ def _build_packed():
 
 _SUB32, _BEF32, _ANC16 = _build_packed()
 
+# ns == 2 subset rows are 1 bit/pixel: pack them 2 psids/word so the
+# gather is a 32-entry tree + a 16-bit pick + a bit spread (≈41 ops)
+# instead of a 64-entry tree (63).  The spread (bit i -> bit 2i)
+# reconstructs the 2-bit-lane SUB32 form exactly (asserted below).
+_SUB16P2 = None
+
+
+def _build_sub16p2():
+    subset = np.asarray(BF._T_SUBSET).reshape(192, 16)[64:128]
+    v16 = np.zeros(64, np.uint64)
+    for i in range(16):
+        v16 |= subset[:, i].astype(np.uint64) << i
+    p2 = (v16[0::2] | (v16[1::2] << 16)).astype(np.uint32).view(np.int32)
+    for p in range(64):
+        sp = int(v16[p])
+        sp = (sp | (sp << 8)) & 0x00FF00FF
+        sp = (sp | (sp << 4)) & 0x0F0F0F0F
+        sp = (sp | (sp << 2)) & 0x33333333
+        sp = (sp | (sp << 1)) & 0x55555555
+        assert sp == int(np.int64(_SUB32[64 + p]) & 0xFFFFFFFF), p
+    return p2
+
+
+_SUB16P2 = _build_sub16p2()
+
 # Anchor POSITIONS packed 2-per-word (a0 = ns2 anchor, a1/a2 = ns3
 # anchors, 4 bits each -> 12 bits/psid): one 32-entry select tree
 # replaces the two 64-entry ANC16 gathers, and BEF32 is then derived
@@ -293,13 +318,17 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     # constants: subset 0 everywhere, pixel 0 the only anchor.
     pbits_vec = [(psid & (1 << i)) != 0 for i in range(6)]
 
-    def ptab(table):
-        g2 = _gather_tree(table[64:128], pbits_vec)
-        g3 = _gather_tree(table[128:192], pbits_vec)
-        one = int(table[0])
-        return jnp.where(ns == 1, one, jnp.where(ns == 2, g2, g3))
-
-    sub32 = ptab(_SUB32)
+    # ns == 2: 32-entry tree over 2-psids/word 1-bit rows + bit
+    # spread to 2-bit lanes; ns == 3 keeps the 64-entry tree.
+    sub16_2 = _gather_tree(_SUB16P2, pbits_vec[1:6])
+    sub16 = jnp.where(pbits_vec[0], _shr(sub16_2, 16), sub16_2) & 0xFFFF
+    sp = sub16
+    sp = (sp | _shl(sp, 8)) & 0x00FF00FF
+    sp = (sp | _shl(sp, 4)) & 0x0F0F0F0F
+    sp = (sp | _shl(sp, 2)) & 0x33333333
+    sp = (sp | _shl(sp, 1)) & 0x55555555
+    g3 = _gather_tree(_SUB32[128:192], pbits_vec)
+    sub32 = jnp.where(ns == 1, 0, jnp.where(ns == 2, sp, g3))
 
     # Anchor bitmap from ONE 32-entry tree of packed anchor positions
     # (2 psids/word, 12 bits each) instead of two 64-entry ANC16
@@ -409,19 +438,25 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     # the per-pixel weight is mul+add+shift (products stay < 2^30).
     wc_mul64, wc_cm = _shl(wc_mul, 6), wc_c * wc_mul
     wa_mul64, wa_cm = _shl(wa_mul, 6), wa_c * wa_mul
-    # alpha index source: second stream only when it exists and is
-    # not swapped into the color role (ONE per-pixel select each).
-    sel_ai = has_sec & ~isb_on
-
-    full_p = _vmask(ib)
-    full_s = _vmask(ib2)
-
     # Pre-align two 64-bit windows at the stream starts: per-pixel
     # offsets (ib*i - before <= 60) then need only a 2-way word pick
     # (replaces the serial bit cursor of decompress-bptc.c:400-480).
     p_lo, p_hi = window64(index_start)
     s_lo, s_hi = window64(sec_start)
     sel_ci = has_sec & isb_on
+    sel_ai = has_sec & ~isb_on
+
+    # Pre-select the COLOR and ALPHA streams per block (window, step,
+    # width mask): retires the two per-pixel color_idx/alpha_idx
+    # selects (32 cmpsel/block) for 8 block-level selects.
+    c_lo = jnp.where(sel_ci, s_lo, p_lo)
+    c_hi = jnp.where(sel_ci, s_hi, p_hi)
+    a_lo = jnp.where(sel_ai, s_lo, p_lo)
+    a_hi = jnp.where(sel_ai, s_hi, p_hi)
+    c_step = jnp.where(sel_ci, ib2, ib)
+    a_step = jnp.where(sel_ai, ib2, ib)
+    full_c = _vmask(c_step)
+    full_a = _vmask(a_step)
 
     # Rotation (modes 4/5) swaps alpha with one color channel AFTER
     # interpolation — a pure output-position permutation, so it is
@@ -433,29 +468,27 @@ def _bc7_kernel(scal_ref, words_ref, pix_ref, valid_ref):
     s_a = jnp.where(rot == 0, 24, _shl(rot - 1, 3))
 
     # --- 16 pixels -------------------------------------------------------
-    ibi = jnp.zeros_like(ib)
-    ib2i = jnp.zeros_like(ib2)
+    ci_cur = jnp.zeros_like(ib)
+    ai_cur = jnp.zeros_like(ib)
     for i in range(16):
         subset = _shr(sub32, 2 * i) & 3
         before = _shr(bef32, 2 * i) & 3
         anch_bit = _shr(anc16, i) & 1
 
-        off_p = ibi - before
-        hi_p = off_p >= 32
-        prim = funnel(jnp.where(hi_p, p_hi, p_lo),
-                      jnp.where(hi_p, 0, p_hi), off_p & 31) \
-            & _shr(full_p, anch_bit)
-        off_s = ib2i - before
-        hi_s = off_s >= 32
-        sec = funnel(jnp.where(hi_s, s_hi, s_lo),
-                     jnp.where(hi_s, 0, s_hi), off_s & 31) \
-            & _shr(full_s, anch_bit)
+        off_c = ci_cur - before
+        hi_c = off_c >= 32
+        color_idx = funnel(jnp.where(hi_c, c_hi, c_lo),
+                           jnp.where(hi_c, 0, c_hi), off_c & 31) \
+            & _shr(full_c, anch_bit)
+        off_a = ai_cur - before
+        hi_a = off_a >= 32
+        alpha_idx = funnel(jnp.where(hi_a, a_hi, a_lo),
+                           jnp.where(hi_a, 0, a_hi), off_a & 31) \
+            & _shr(full_a, anch_bit)
         if i < 15:
-            ibi = ibi + ib
-            ib2i = ib2i + ib2
+            ci_cur = ci_cur + c_step
+            ai_cur = ai_cur + a_step
 
-        color_idx = jnp.where(sel_ci, sec, prim)
-        alpha_idx = jnp.where(sel_ai, sec, prim)
         w_c = _shr(color_idx * wc_mul64 + wc_cm, wc_sh)
         w_a = _shr(alpha_idx * wa_mul64 + wa_cm, wa_sh)
 
@@ -548,10 +581,11 @@ def decode_bptc_auto(words, mode_mask: int = _FULL, flags: int = 0):
     kernel on TPU (the pure-XLA path is gather-bound there), the jnp
     single-pass decoder elsewhere."""
     if jax.default_backend() == "tpu":
-        # tile=512 is the measured sweet spot on v5e after the
-        # round-3 op reductions cut register pressure (see PROFILE.md
-        # tile sweep; it was 256 for the round-2 kernel).
-        tile = 512 if words.shape[0] >= 8 * 512 else 128
+        # The tile optimum moves with register pressure: 256 (r2) ->
+        # 512 (r3 op cuts) -> 256 again after the round-4 stream
+        # pre-selection + split partition trees (A/B: 2.76e9 @ 256 vs
+        # 2.40e9 @ 512 — see PROFILE.md).
+        tile = 256 if words.shape[0] >= 8 * 256 else 128
         return decode_bptc(words, mode_mask, flags, tile=tile,
                            interpret=False)
     from detex_tpu.ops import bptc_fast as _bf
