@@ -399,19 +399,19 @@ def _eac_codes(w0, w1):
     return codes
 
 
-def _eac_modifier_cols(w0):
-    """Four per-block modifier magnitudes m[0..3] = EAC table row
-    (tidx = byte1 low nibble) via ONE 16-entry select tree over the
-    packed 5-bit biased fields."""
+def _eac_mp_word(w0):
+    """Per-block packed EAC modifier row (tidx = byte1 low nibble):
+    four 5-bit biased magnitudes in one word, via ONE 16-entry select
+    tree."""
     tbits = _bits_of(_shr(w0, 8) & 0xF, 4)
-    mp = _sel_tree(_EAC_MP, tbits)
-    return [(_shr(mp, 5 * c) & 31) - 16 for c in range(4)]
+    return _sel_tree(_EAC_MP, tbits)
 
 
-def _eac_modifier(m, code):
-    lo = jnp.where((code & 1) != 0, m[1], m[0])
-    hi = jnp.where((code & 1) != 0, m[3], m[2])
-    v = jnp.where((code & 2) != 0, hi, lo)
+def _eac_modifier(mp, code):
+    """Modifier for a 3-bit code from the PACKED row: a variable
+    5-bit-field shift + one negate select (1 cmpsel) instead of the
+    former 3-cmpsel select tree per pixel."""
+    v = (_shr(mp, (code & 3) * 5) & 31) - 16
     return jnp.where(code >= 4, -v - 1, v)
 
 
@@ -419,15 +419,16 @@ def _eac_alpha_pixels(w0, w1):
     """ETC2_EAC alpha path (decompress-eac.c:54-86): 16 x (8, L)."""
     base = w0 & 0xFF
     mult = _shr(w0, 12) & 0xF
-    m = _eac_modifier_cols(w0)
+    mp = _eac_mp_word(w0)
     codes = _eac_codes(w0, w1)
-    return [_clamp255(base + _eac_modifier(m, c) * mult) for c in codes], mult
+    return [_clamp255(base + _eac_modifier(mp, c) * mult)
+            for c in codes], mult
 
 
 def _eac11_pixels(w0, w1, *, signed: bool):
     """11-bit channel (decompress-eac.c:111-128 unsigned, 159-202
     signed): 16 x (8, L) plus validity."""
-    m = _eac_modifier_cols(w0)
+    mp = _eac_mp_word(w0)
     codes = _eac_codes(w0, w1)
     mult8 = _shl(_shr(w0, 12) & 0xF, 3)
     mult8 = jnp.where(mult8 == 0, 1, mult8)
@@ -435,7 +436,7 @@ def _eac11_pixels(w0, w1, *, signed: bool):
         base = _shl(w0 & 0xFF, 3) | 0x4
         out = []
         for c in codes:
-            v = jnp.clip(base + _eac_modifier(m, c) * mult8, 0, 2047)
+            v = jnp.clip(base + _eac_modifier(mp, c) * mult8, 0, 2047)
             out.append(_shl(v, 5) | _shr(v, 6))
         return out, None
     base_raw = w0 & 0xFF
@@ -444,7 +445,7 @@ def _eac11_pixels(w0, w1, *, signed: bool):
     base8 = _shl(base, 3)
     out = []
     for c in codes:
-        v = jnp.clip(base8 + _eac_modifier(m, c) * mult8, -1023, 1023)
+        v = jnp.clip(base8 + _eac_modifier(mp, c) * mult8, -1023, 1023)
         mag = jnp.abs(v)
         rep = _shl(mag, 5) | lax.shift_right_arithmetic(mag, 5)
         out.append(jnp.sign(v) * rep)
