@@ -713,8 +713,8 @@ def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
 
 
 decode_etc1_auto = _auto(decode_etc1, ETCJ.decode_etc1,
-                         best_tile=256)
-decode_etc2_auto = _auto(decode_etc2, ETCJ.decode_etc2, best_tile=128)
+                         best_tile=512)
+decode_etc2_auto = _auto(decode_etc2, ETCJ.decode_etc2, best_tile=256)
 decode_etc2_punchthrough_auto = _auto(decode_etc2_punchthrough,
                                       ETCJ.decode_etc2_punchthrough,
                                       best_tile=256)

@@ -83,7 +83,7 @@ KERNELS = {
                                tile=512), 16, 32 * 4 + 4),
     "ETC1": (functools.partial(etc_eac_pallas.decode_etc1_planar, tile=512),
              8, 64 + 4),
-    "ETC2": (functools.partial(etc_eac_pallas.decode_etc2_planar, tile=128),
+    "ETC2": (functools.partial(etc_eac_pallas.decode_etc2_planar, tile=256),
              8, 64 + 4),
     "ETC2_EAC": (functools.partial(etc_eac_pallas.decode_etc2_eac_planar,
                                    tile=256), 16, 64 + 4),
@@ -93,7 +93,7 @@ KERNELS = {
                                    tile=512), 16, 64 + 4),
     "BC1": (functools.partial(bc_pallas.decode_bc1_planar, tile=1024),
             8, 64 + 4),
-    "BC3": (functools.partial(bc_pallas.decode_bc3_planar, tile=512),
+    "BC3": (functools.partial(bc_pallas.decode_bc3_planar, tile=256),
             16, 64 + 4),
     "RGTC1": (functools.partial(bc_pallas.decode_rgtc1_planar, tile=256),
               8, 16 + 4),
