@@ -166,11 +166,20 @@ def _native_to_typed(idx: int, pix):
                       axis=-1).astype(jnp.uint8)
         lanes = 2 if kind == "p8x2" else 1
         return b.reshape(n * 16, lanes)
-    if kind in ("p16", "p16x2", "p16x4"):
+    if kind == "p16x4":
+        # (N, 32) word pairs: channel planes via strided slices — the
+        # lo/hi interleave form lowers to a ~2x-slower relayout
+        # (measured in the BC6H pipeline, PROFILE.md round 4).
+        v = pix.astype(jnp.uint32)
+        rg, bx = v[:, 0::2], v[:, 1::2]
+        h = jnp.stack([rg & 0xFFFF, rg >> 16, bx & 0xFFFF, bx >> 16],
+                      axis=-1).astype(jnp.uint16)
+        return h.reshape(n * 16, 4)
+    if kind in ("p16", "p16x2"):
         # Packed u16 payload words -> u16 stream -> (n_px, lanes).
         v = pix.astype(jnp.uint32)
         h = jnp.stack([v & 0xFFFF, v >> 16], axis=-1).astype(jnp.uint16)
-        lanes = {"p16": 1, "p16x2": 2, "p16x4": 4}[kind]
+        lanes = {"p16": 1, "p16x2": 2}[kind]
         return h.reshape(n * 16, lanes)
     if kind == "u8":
         return pix.astype(jnp.uint8).reshape(n * 16, -1)
