@@ -151,9 +151,10 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
     # via 4-bit select trees).  Cuts ~1/3 of the kernel's VPU ops vs
     # running the endpoint math 14 times (decompress-bptc-float.c
     # semantics unchanged; goldens + fuzz pin bit-exactness).
-    raw = {f"{c}{i}": None for c in "rgb" for i in range(4)}
+    keys = [f"{c}{i}" for c in "rgb" for i in range(4)]
+    ep_by_mode = []
     for m in range(14):
-        ep = {k: 0 for k in raw}
+        ep = {k: 0 for k in keys}
         for f in _FIELDS[m]:
             dest, lo, hi, shift = f[0], f[1], f[2], f[3]
             rev = len(f) > 4 and f[4]
@@ -165,20 +166,27 @@ def _bc6h_kernel(scal_ref, words_ref, out_ref, valid_ref, *, signed: bool):
                 val = sfield(lo, hi - lo + 1)
             sval = _shl(val, shift) if shift else val
             ep[dest] = sval if isinstance(ep[dest], int) else ep[dest] | sval
-        ns = 1 if m >= 10 else 2
-        for c in "rgb":
-            for i in range(ns * 2):
-                key = f"{c}{i}"
-                v = ep[key]
-                if isinstance(v, int):
-                    v = jnp.zeros_like(mode)
-                if raw[key] is None:
-                    raw[key] = v
-                else:
-                    raw[key] = jnp.where(mode == m, v, raw[key])
+        ep_by_mode.append(ep)
 
-    # Per-block mode-dependent constants (4-bit select trees).
+    # Per-key BALANCED select tree over the 4 mode bits (depth 4)
+    # instead of the former 13-deep sequential where chain per key —
+    # same cmpsel count, 3x shorter dependency chains for the
+    # scheduler.  Keys a mode does not populate select zeros there
+    # (unused downstream: ns==1 blocks never read e2/e3).
     mbits = [(mode & (1 << i)) != 0 for i in range(4)]
+    zero_v = jnp.zeros_like(mode)
+    raw = {}
+    for key in keys:
+        leaves = [ep_by_mode[m][key] for m in range(14)]
+        leaves = [zero_v if isinstance(v, int) else v for v in leaves]
+        cur = leaves + [leaves[-1]] * 2          # pad 14 -> 16
+        for b in mbits:
+            cur = [jnp.where(b, hi, lo)
+                   for lo, hi in zip(cur[0::2], cur[1::2])]
+        raw[key] = cur[0]
+
+    # Per-block mode-dependent constants (4-bit select trees; mbits
+    # shared with the raw-field trees above).
 
     def mode_const(tab14):
         t = list(tab14) + [tab14[-1]] * 2      # pad 14 -> 16 leaves
