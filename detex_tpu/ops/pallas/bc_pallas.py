@@ -22,7 +22,11 @@ Design notes:
     machinery needed.
   * the 8-entry alpha/luma palette is built once per block (incl. the
     signed [-127,127] -> [-32768,32767] mapping, applied to 8 palette
-    entries instead of 16 pixels); pixels do a 3-level select tree.
+    entries instead of 16 pixels), then PACKED (u8: 4 entries/word,
+    16-bit: 2/word) so each pixel does one cmpsel + a variable
+    byte/halfword shift instead of a 7-cmpsel select tree.
+  * outputs are the TRUE payload, packed little-endian — identical
+    bytes to the reference pixel_buffer layouts (detex.h:879-930).
 """
 
 from __future__ import annotations
@@ -85,16 +89,6 @@ def _sel4(p, idx):
     lo = jnp.where(b0, p[1], p[0])
     hi = jnp.where(b0, p[3], p[2])
     return jnp.where((idx & 2) != 0, hi, lo)
-
-
-def _sel8(p, code):
-    """Select p[code] from an 8-entry list by a 3-bit vector index."""
-    b0 = (code & 1) != 0
-    b1 = (code & 2) != 0
-    q = [jnp.where(b0, p[2 * i + 1], p[2 * i]) for i in range(4)]
-    lo = jnp.where(b1, q[1], q[0])
-    hi = jnp.where(b1, q[3], q[2])
-    return jnp.where((code & 4) != 0, hi, lo)
 
 
 def _pack_pal8_u8(p):
