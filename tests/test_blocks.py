@@ -113,3 +113,33 @@ def check_family(golden, family):
 @pytest.mark.parametrize("family", list(FAMILIES))
 def test_block_decode_bit_exact(golden, family):
     check_family(golden, family)
+
+
+def test_swar_clamp_biased_exhaustive_lane():
+    """The ETC SWAR saturating clamp (etc_eac_pallas._swar_clamp_biased)
+    must clamp every 10-bit lane value in [0, 1023] to [256, 511]
+    independently per lane, for all three lanes at once."""
+    import jax.numpy as jnp
+
+    from detex_tpu.ops.pallas import etc_eac_pallas as EP
+
+    vals = np.arange(1024, dtype=np.int64)
+    want = np.clip(vals, 256, 511)
+    # Sweep each lane with the other two lanes pinned at edge values.
+    for other in (0, 256, 511, 1023):
+        for lane in range(3):
+            lanes = [np.full(1024, other, np.int64)] * 3
+            lanes[lane] = vals
+            packed = jnp.asarray(
+                (lanes[0] | (lanes[1] << 10) | (lanes[2] << 20))
+                .astype(np.int32))
+            out = np.asarray(EP._swar_clamp_biased(packed)).astype(np.int64)
+            got = (out >> (10 * lane)) & 0x3FF
+            np.testing.assert_array_equal(got, want, err_msg=f"lane {lane}"
+                                          f" other={other}")
+            for ol in range(3):
+                if ol == lane:
+                    continue
+                np.testing.assert_array_equal(
+                    (out >> (10 * ol)) & 0x3FF,
+                    np.clip(other, 256, 511), err_msg=f"bleed {ol}")
