@@ -108,6 +108,55 @@ def decode_blocks_device(tex_fmt: int, words, mode_mask=0xFFFFFFFF,
                                 np.uint32(flags))
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_decoder(idx: int, mesh_key, axis: str):
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    mesh = _MESHES[mesh_key]
+    fn, _ = _DECODERS[idx]
+
+    def local(words, mode_mask, flags):
+        return fn(words, mode_mask[0], flags[0])
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P(axis)))
+
+    def call(words, mode_mask, flags):
+        return sharded(words, jnp.asarray([mode_mask], jnp.uint32),
+                       jnp.asarray([flags], jnp.uint32))
+
+    return jax.jit(call)
+
+
+_MESHES = {}
+
+
+def decode_blocks_sharded(tex_fmt: int, words, mesh, mode_mask=0xFFFFFFFF,
+                          flags=0, axis: str = "dp"):
+    """Scale-out decode: shard the block batch over `axis` of `mesh`
+    and decode every shard with the local Pallas kernel under ONE
+    shard_map — block decode is embarrassingly parallel (each 4x4
+    block is independent, texture.c:85-96), so the compiled program
+    contains ZERO collectives (asserted in tests/test_mppi_sharding
+    .py::test_sharded_decode_no_collectives) and throughput scales
+    linearly with chips.  `words` is (N, k) int32 with N divisible by
+    the axis size; returns sharded (pixels, valid) device arrays."""
+    idx = F.compressed_index(tex_fmt)
+    if idx not in _DECODERS:
+        raise ValueError(f"not a compressed format: {tex_fmt:#x}")
+    n_shards = mesh.shape[axis]
+    if words.shape[0] % n_shards:
+        raise ValueError(
+            f"N={words.shape[0]} not divisible by mesh axis "
+            f"'{axis}' size {n_shards}")
+    mesh_key = (id(mesh), tuple(mesh.shape.items()))
+    _MESHES[mesh_key] = mesh
+    return _sharded_decoder(idx, mesh_key, axis)(
+        words, np.uint32(mode_mask), np.uint32(flags))
+
+
 def _native_bytes(idx: int, pix) -> np.ndarray:
     """Native device arrays -> per-block pixel byte layout (N, 16*ps),
     matching the reference decoders' pixel_buffer layout."""

@@ -205,3 +205,40 @@ def test_control_step_sharded_matches():
                                rtol=3e-5, atol=3e-6)
     np.testing.assert_allclose(np.asarray(nom_s), np.asarray(nom_ref),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_sharded_decode_no_collectives():
+    """decode_blocks_sharded: block decode sharded over 'dp' must be
+    bit-identical to the unsharded decode and compile to a program
+    with ZERO collectives (blocks are independent, texture.c:85-96 —
+    scale-out decode costs no communication)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    from detex_tpu import engine, formats as F
+    from detex_tpu.ops.bitops import words_from_bytes
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("dp", "tp"))
+    rng = np.random.default_rng(3)
+    for fmt, bs in ((F.BPTC, 16), (F.RGTC1, 8)):
+        blocks = rng.integers(0, 256, (512, bs), np.uint8)
+        words = words_from_bytes(blocks)
+        pix_s, valid_s = engine.decode_blocks_sharded(fmt, words, mesh)
+        pix_u, valid_u = engine.decode_blocks_device(fmt, words)
+        np.testing.assert_array_equal(np.asarray(pix_s),
+                                      np.asarray(pix_u))
+        np.testing.assert_array_equal(np.asarray(valid_s),
+                                      np.asarray(valid_u))
+
+        idx = F.compressed_index(fmt)
+        mesh_key = (id(mesh), tuple(mesh.shape.items()))
+        fn = engine._sharded_decoder(idx, mesh_key, "dp")
+        txt = fn.lower(words, np.uint32(0xFFFFFFFF),
+                       np.uint32(0)).compile().as_text()
+        for coll in ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute", "all-to-all"):
+            assert coll not in txt, f"{coll} in sharded decode HLO"
