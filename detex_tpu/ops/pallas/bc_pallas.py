@@ -521,7 +521,7 @@ decode_bc1_auto = _auto(decode_bc1, BCJ.decode_bc1, best_tile=1024)
 decode_bc1a_auto = _auto(decode_bc1a, BCJ.decode_bc1a)
 decode_bc2_auto = _auto(decode_bc2, BCJ.decode_bc2)
 decode_bc3_auto = _auto(decode_bc3, BCJ.decode_bc3, best_tile=256)
-decode_rgtc1_auto = _auto(decode_rgtc1, RGJ.decode_rgtc1, best_tile=256)
+decode_rgtc1_auto = _auto(decode_rgtc1, RGJ.decode_rgtc1, best_tile=1024)
 decode_rgtc2_auto = _auto(decode_rgtc2, RGJ.decode_rgtc2, best_tile=256)
 decode_signed_rgtc1_auto = _auto(decode_signed_rgtc1,
                                  RGJ.decode_signed_rgtc1, best_tile=256)
@@ -532,7 +532,7 @@ decode_signed_rgtc2_auto = _auto(decode_signed_rgtc2,
 # payload words straight from the kernel — no post-kernel unpack, no
 # write amplification.
 decode_rgtc1_packed_auto = _auto(decode_rgtc1_packed, _rgtc1_jnp_packed,
-                                 best_tile=256)
+                                 best_tile=1024)
 decode_rgtc2_packed_auto = _auto(decode_rgtc2_packed, _rgtc2_jnp_packed,
                                  best_tile=256)
 decode_signed_rgtc1_packed_auto = _auto(decode_signed_rgtc1_packed,

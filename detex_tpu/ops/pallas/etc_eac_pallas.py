@@ -706,14 +706,15 @@ def _auto(pallas_fn, jnp_fn, best_tile: int = 512):
 
 
 decode_etc1_auto = _auto(decode_etc1, ETCJ.decode_etc1,
-                         best_tile=512)
+                         best_tile=1024)
 decode_etc2_auto = _auto(decode_etc2, ETCJ.decode_etc2, best_tile=256)
 decode_etc2_punchthrough_auto = _auto(decode_etc2_punchthrough,
                                       ETCJ.decode_etc2_punchthrough,
                                       best_tile=256)
 decode_etc2_eac_auto = _auto(decode_etc2_eac, ETCJ.decode_etc2_eac,
                              best_tile=256)
-decode_eac_r11_auto = _auto(decode_eac_r11, EACJ.decode_eac_r11)
+decode_eac_r11_auto = _auto(decode_eac_r11, EACJ.decode_eac_r11,
+                             best_tile=1024)
 decode_eac_signed_r11_auto = _auto(decode_eac_signed_r11,
                                    EACJ.decode_eac_signed_r11)
 decode_eac_rg11_auto = _auto(decode_eac_rg11, EACJ.decode_eac_rg11,
@@ -724,7 +725,7 @@ decode_eac_signed_rg11_auto = _auto(decode_eac_signed_rg11,
 
 # Packed-payload autos (the engine's decode path).
 decode_eac_r11_packed_auto = _auto(decode_eac_r11_packed,
-                                   _eac_r11_jnp_packed)
+                                   _eac_r11_jnp_packed, best_tile=1024)
 decode_eac_signed_r11_packed_auto = _auto(decode_eac_signed_r11_packed,
                                           _eac_signed_r11_jnp_packed)
 decode_eac_rg11_packed_auto = _auto(decode_eac_rg11_packed,
