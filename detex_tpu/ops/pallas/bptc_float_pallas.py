@@ -422,7 +422,7 @@ def _jnp_packed(words, mode_mask, flags, signed):
 def _auto(signed, packed=False):
     def fn(words, mode_mask=_FULL, flags=0):
         if jax.default_backend() == "tpu":
-            tile = 512 if words.shape[0] >= 8 * 512 else 128
+            tile = 256 if words.shape[0] >= 8 * 256 else 128
             rows_fn = _rows_packed if packed else _rows
             return rows_fn(words, mode_mask, flags, signed, tile=tile,
                            interpret=False)
