@@ -36,6 +36,10 @@ DRIVES = {
     "BC1": ("test-texture-BC1.ktx", [F.RGBA8]),
     "BC3": ("test-texture-BC3.ktx", [F.RGBA8]),
     "RGTC2": ("test-texture-RGTC2.ktx", [F.RGBX8]),
+    # the remaining packed payload kinds: p8 / p16 signed / p16x2
+    "RGTC1": ("test-texture-RGTC1.ktx", [F.RGBX8]),
+    "SIGNED_RGTC1": ("test-texture-SIGNED_RGTC1.ktx", [F.RGBX8]),
+    "EAC_RG11": ("test-texture-EAC_RG11.ktx", [F.RGBX8]),
 }
 
 
