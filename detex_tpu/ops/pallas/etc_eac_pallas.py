@@ -140,12 +140,14 @@ def _pack3(r, g, b):
 
 def _swar_clamp_biased(v):
     """Per-lane clamp of biased 10-bit lanes to [256, 511] (= [0, 255]
-    unbiased).  Input lanes must be in [0, 1023]."""
+    unbiased).  Input lanes must be in [0, 1023].  The per-lane fill
+    masks are built with shift-subtract (hi*0x1FF == hi<<9 - hi) —
+    int32 multiply is the expensive VPU port (PROFILE.md round 4)."""
     ones = _LANE3
     hi = _shr(v, 9) & ones                   # lane >= 512
-    v = (v | hi * 0x1FF) - _shl(hi, 9)       # -> 511 in those lanes
+    v = (v | (_shl(hi, 9) - hi)) - _shl(hi, 9)   # -> 511 in those lanes
     u = _shr(v, 8) & ones                    # lane >= 256
-    return (v & (u * 0x3FF)) | _shl(u ^ ones, 8)   # < 256 -> 256
+    return (v & (_shl(u, 10) - u)) | _shl(u ^ ones, 8)   # < 256 -> 256
 
 
 def _swar_to_rgba(v, alpha):
@@ -335,6 +337,20 @@ def _swar_pixel_loop(piw, flip, a1, b1m, a2, b2m, s1p, s2p, paint_p, th,
     sab_2 = (s2p, a2p, b2p)                  # x >= 2, y >= 2: always sub2
     if planar is not None:
         pl_dr, pl_vr, pl_dg, pl_vg, pl_db, pl_vb, ro, go, bo = planar
+        # Strength-reduce the planar x*dH + y*dV const multiplies
+        # (x, y in 0..3): 2 adds per delta hoisted per block replace
+        # 96 int32 muls per block — mul is the expensive VPU port.
+
+        def multiples(d):
+            d2 = d + d
+            return (jnp.zeros_like(d), d, d2, d2 + d)
+
+        xm = {c: multiples(d) for c, d in
+              (("r", pl_dr), ("g", pl_dg), ("b", pl_db))}
+        ym = {c: multiples(d) for c, d in
+              (("r", pl_vr), ("g", pl_vg), ("b", pl_vb))}
+        base4 = {"r": _shl(ro, 2) + 2, "g": _shl(go, 2) + 2,
+                 "b": _shl(bo, 2) + 2}
 
     out, keep_out = [], []
     for j in range(16):
@@ -362,9 +378,9 @@ def _swar_pixel_loop(piw, flip, a1, b1m, a2, b2m, s1p, s2p, paint_p, th,
         if planar is not None:
             # Planar: low-clamped per channel (cheap), packed biased,
             # hi clamp shared with the SWAR clamp below.  Lanes <= 893.
-            rp = jnp.maximum((x * pl_dr + y * pl_vr + 4 * ro + 2) >> 2, 0)
-            gp = jnp.maximum((x * pl_dg + y * pl_vg + 4 * go + 2) >> 2, 0)
-            bp = jnp.maximum((x * pl_db + y * pl_vb + 4 * bo + 2) >> 2, 0)
+            rp = jnp.maximum((xm["r"][x] + ym["r"][y] + base4["r"]) >> 2, 0)
+            gp = jnp.maximum((xm["g"][x] + ym["g"][y] + base4["g"]) >> 2, 0)
+            bp = jnp.maximum((xm["b"][x] + ym["b"][y] + base4["b"]) >> 2, 0)
             v = jnp.where(use_planar, _pack3(rp, gp, bp) + _BIAS3, v)
 
         out.append(_swar_clamp_biased(v))
