@@ -80,22 +80,22 @@ KERNELS = {
     "BC7": (functools.partial(bptc_pallas.decode_bptc_planar, tile=256),
             16, 64 + 4),
     "BC6H": (functools.partial(bptc_float_pallas.decode_bptc_float_planar,
-                               tile=512), 16, 32 * 4 + 4),
-    "ETC1": (functools.partial(etc_eac_pallas.decode_etc1_planar, tile=512),
+                               tile=256), 16, 32 * 4 + 4),
+    "ETC1": (functools.partial(etc_eac_pallas.decode_etc1_planar, tile=1024),
              8, 64 + 4),
     "ETC2": (functools.partial(etc_eac_pallas.decode_etc2_planar, tile=256),
              8, 64 + 4),
     "ETC2_EAC": (functools.partial(etc_eac_pallas.decode_etc2_eac_planar,
                                    tile=256), 16, 64 + 4),
     "EAC_R11": (functools.partial(etc_eac_pallas.decode_eac_r11_planar,
-                                  tile=512), 8, 32 + 4),
+                                  tile=1024), 8, 32 + 4),
     "EAC_RG11": (functools.partial(etc_eac_pallas.decode_eac_rg11_planar,
                                    tile=512), 16, 64 + 4),
     "BC1": (functools.partial(bc_pallas.decode_bc1_planar, tile=1024),
             8, 64 + 4),
     "BC3": (functools.partial(bc_pallas.decode_bc3_planar, tile=256),
             16, 64 + 4),
-    "RGTC1": (functools.partial(bc_pallas.decode_rgtc1_planar, tile=256),
+    "RGTC1": (functools.partial(bc_pallas.decode_rgtc1_planar, tile=1024),
               8, 16 + 4),
     "RGTC2": (functools.partial(bc_pallas.decode_rgtc2_planar, tile=256),
               16, 32 + 4),
