@@ -89,29 +89,41 @@ def bench_ours(blocks_u8: np.ndarray):
                   "spread_pct": round(100 * (best - worst) / best, 2)}
 
 
-def clock_canary() -> float:
-    """Session clock/thermal probe: sustained rate of a FIXED synthetic
-    VPU kernel (pure int32 arithmetic chain, no decode logic), measured
-    with the same marginal-rate method as the real bench.  BC7 headline
-    numbers vary 10-20% between tunnel sessions (BASELINE.md:116); this
-    canary is recorded alongside every BENCH number so a slow session
-    is distinguishable from a slow kernel.  Unit: 1e9 int32 ops/s."""
-    import jax.numpy as jnp
-    from jax import lax
-    import functools
+CANARY_OPS_PER_ITER = 256                     # adds+xors per element
 
-    N_OPS_PER_ITER = 256                      # adds+xors per element
+
+def canary_runner():
+    """The FIXED synthetic canary kernel (pure int32 arithmetic chain,
+    no decode logic), shared with tools/clock_probe.py so every
+    recorded canary_gops number is comparable.  Returns
+    (run(x, iters) -> scalar, x, ops_per_iter)."""
+    import jax.numpy as jnp  # noqa: F401
+    from jax import lax
+
     x = jax.device_put(np.arange(8 * 65536, dtype=np.int32)
                        .reshape(8, 65536))
 
-    @functools.partial(jax.jit)
+    @jax.jit
     def run(x, iters):
         def body(i, acc):
             v = acc ^ i
-            for k in range(N_OPS_PER_ITER // 2):
+            for k in range(CANARY_OPS_PER_ITER // 2):
                 v = (v + (v >> 7)) ^ (k + 1)
             return v
         return lax.fori_loop(0, iters, body, x)[0, 0]
+
+    return run, x, CANARY_OPS_PER_ITER
+
+
+def clock_canary() -> float:
+    """Session clock/thermal probe: sustained canary rate, measured
+    with the same marginal-rate method as the real bench.  Recorded
+    alongside every BENCH number so a slow run is distinguishable
+    from a slow kernel (PROFILE.md benchmarking discipline).
+    Unit: 1e9 int32 ops/s."""
+    import jax.numpy as jnp
+
+    run, x, ops = canary_runner()
 
     def t(it):
         int(run(x, jnp.int32(it)))
@@ -124,7 +136,7 @@ def clock_canary() -> float:
 
     lo, hi = 20, 220
     dt = t(hi) - t(lo)
-    return (hi - lo) * x.size * N_OPS_PER_ITER / dt / 1e9
+    return (hi - lo) * x.size * ops / dt / 1e9
 
 
 def witness_correctness(blocks_u8: np.ndarray, tile: int = 512) -> str:

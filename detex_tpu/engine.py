@@ -8,7 +8,11 @@ computation, converts pixels, and assembles the linear image with a
 reshape/transpose — no per-block loop anywhere.
 
 Layers:
-  decode_blocks_device : blocks -> native per-pixel device arrays
+  decode_blocks_device : blocks -> decoder-native device arrays
+      (packed RGBA8 pixels for the u32 families; packed PAYLOAD words
+      for the p8/p16/... families — see the _DECODERS kind table)
+  decode_blocks_sharded: the same, sharded over a mesh axis (zero
+      collectives)
   decode_blocks        : blocks -> native per-block pixel bytes (host)
   decompress_texture_linear / _tiled : full reference parity incl.
       pixel-format conversion, partial edge blocks, invalid-block
@@ -151,8 +155,12 @@ def decode_blocks_sharded(tex_fmt: int, words, mesh, mode_mask=0xFFFFFFFF,
         raise ValueError(
             f"N={words.shape[0]} not divisible by mesh axis "
             f"'{axis}' size {n_shards}")
-    mesh_key = (id(mesh), tuple(mesh.shape.items()))
-    _MESHES[mesh_key] = mesh
+    # Structural key (device ids + axis layout), NOT id(mesh):
+    # equivalent meshes rebuilt per call share one compiled decoder,
+    # and the cache stays bounded by distinct topologies.
+    mesh_key = (tuple(d.id for d in mesh.devices.ravel()),
+                tuple(mesh.shape.items()))
+    _MESHES.setdefault(mesh_key, mesh)
     return _sharded_decoder(idx, mesh_key, axis)(
         words, np.uint32(mode_mask), np.uint32(flags))
 
@@ -163,18 +171,12 @@ def _native_bytes(idx: int, pix) -> np.ndarray:
     kind = _DECODERS[idx][1]
     a = np.asarray(pix)
     n = a.shape[0]
-    if kind == "u32" or kind.startswith("p"):
-        # Packed words: the little-endian i32 byte stream IS the
-        # reference pixel_buffer layout for every packed kind.
-        return np.ascontiguousarray(a).view(np.uint32).view(np.uint8) \
-            .reshape(n, -1)
-    if kind == "u8":
-        return np.ascontiguousarray(a.astype(np.uint8)).reshape(n, -1)
-    if kind == "i16":
-        return np.ascontiguousarray(
-            a.astype(np.int16).reshape(n, -1)).view(np.uint8)
-    return np.ascontiguousarray(
-        a.astype(np.uint16).reshape(n, -1)).view(np.uint8)
+    # Every decoder emits packed words since the round-4 payload
+    # rework: the little-endian i32 byte stream IS the reference
+    # pixel_buffer layout for every kind.
+    assert kind == "u32" or kind.startswith("p"), kind
+    return np.ascontiguousarray(a).view(np.uint32).view(np.uint8) \
+        .reshape(n, -1)
 
 
 def decode_blocks(tex_fmt: int, blocks_u8: np.ndarray,
@@ -230,12 +232,7 @@ def _native_to_typed(idx: int, pix):
         h = jnp.stack([v & 0xFFFF, v >> 16], axis=-1).astype(jnp.uint16)
         lanes = {"p16": 1, "p16x2": 2}[kind]
         return h.reshape(n * 16, lanes)
-    if kind == "u8":
-        return pix.astype(jnp.uint8).reshape(n * 16, -1)
-    if kind == "i16":
-        return jax.lax.bitcast_convert_type(
-            pix.astype(jnp.int16), jnp.uint16).reshape(n * 16, -1)
-    return pix.astype(jnp.uint16).reshape(n * 16, -1)
+    raise AssertionError(f"unknown packer kind {kind!r}")
 
 
 # 8-bit x 4-lane formats whose mutual conversions are compositions of

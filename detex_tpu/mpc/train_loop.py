@@ -132,15 +132,15 @@ class CorpusReplayEnv:
         self.cfg = cfg
         pool = []
         path = corpus_path or self.CORPUS_PATH
+        from detex_tpu.io import ktx as ktx_io
         try:
-            from detex_tpu.io import ktx as ktx_io
             tex = ktx_io.load_ktx(path)[0]
             corpus = np.ascontiguousarray(
                 tex.data.reshape(tex.n_blocks, 16)).view(np.uint32) \
                 .astype(np.int64).astype(np.int32)
             pool.append(corpus)
-        except (OSError, ValueError):
-            pass                     # no corpus file: random pool only
+        except (OSError, ValueError, ktx_io.TextureFileError):
+            pass          # missing OR corrupt corpus: random pool only
         rand = rng.integers(0, 256, (pool_random, 16), np.uint8)
         modes = np.arange(pool_random) % 8
         rand[:, 0] = ((1 << modes)

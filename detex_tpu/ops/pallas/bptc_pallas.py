@@ -108,7 +108,6 @@ _SUB32, _BEF32, _ANC16 = _build_packed()
 # gather is a 32-entry tree + a 16-bit pick + a bit spread (≈41 ops)
 # instead of a 64-entry tree (63).  The spread (bit i -> bit 2i)
 # reconstructs the 2-bit-lane SUB32 form exactly (asserted below).
-_SUB16P2 = None
 
 
 def _build_sub16p2():

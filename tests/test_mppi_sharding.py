@@ -235,7 +235,8 @@ def test_sharded_decode_no_collectives():
                                       np.asarray(valid_u))
 
         idx = F.compressed_index(fmt)
-        mesh_key = (id(mesh), tuple(mesh.shape.items()))
+        mesh_key = (tuple(d.id for d in mesh.devices.ravel()),
+                    tuple(mesh.shape.items()))
         fn = engine._sharded_decoder(idx, mesh_key, "dp")
         txt = fn.lower(words, np.uint32(0xFFFFFFFF),
                        np.uint32(0)).compile().as_text()

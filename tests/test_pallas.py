@@ -295,12 +295,9 @@ _PACKED = {
     "EAC_RG11": (etc_eac_pallas.decode_eac_rg11_packed, 16, 64),
     "EAC_SIGNED_RG11": (etc_eac_pallas.decode_eac_signed_rg11_packed,
                         16, 64),
-    "BPTC_FLOAT": (
-        functools.partial(bptc_float_pallas.decode_bptc_float_packed),
-        16, 128),
-    "BPTC_SIGNED_FLOAT": (
-        functools.partial(bptc_float_pallas.decode_bptc_signed_float_packed),
-        16, 128),
+    "BPTC_FLOAT": (bptc_float_pallas.decode_bptc_float_packed, 16, 128),
+    "BPTC_SIGNED_FLOAT": (bptc_float_pallas.decode_bptc_signed_float_packed,
+                          16, 128),
 }
 
 

@@ -173,12 +173,18 @@ def test_corpus_replay_env_mode_diversity():
 
 
 def test_corpus_replay_env_without_corpus_file(tmp_path):
-    """Missing corpus file degrades to the random-mode pool (the env
-    must work on machines without /root/reference)."""
+    """Missing OR corrupt corpus file degrades to the random-mode pool
+    (the env must work on machines without /root/reference, and must
+    not crash on a truncated file)."""
     from detex_tpu.mpc.train_loop import CorpusReplayEnv, TrainConfig
 
     cfg = TrainConfig(compressed_obs=True)
     env = CorpusReplayEnv(cfg.dynamics, seed=1,
                           corpus_path=str(tmp_path / "nope.ktx"))
     assert env.modes_present == set(range(8))
+    assert env.pool.shape == (1024, 4)
+
+    bad = tmp_path / "bad.ktx"
+    bad.write_bytes(b"not a ktx file at all")
+    env = CorpusReplayEnv(cfg.dynamics, seed=1, corpus_path=str(bad))
     assert env.pool.shape == (1024, 4)

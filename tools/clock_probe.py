@@ -17,26 +17,16 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/detex_jax_cache")
 
-import jax                      # noqa: E402
+import jax                      # noqa: E402,F401
 import jax.numpy as jnp         # noqa: E402
 import numpy as np              # noqa: E402
-from jax import lax             # noqa: E402
 
-N_OPS_PER_ITER = 256
+from bench import canary_runner  # noqa: E402  (the SAME kernel bench.py
+#                                  records as canary_gops — comparable)
 
 
 def make_runner():
-    x = jax.device_put(np.arange(8 * 65536, dtype=np.int32)
-                       .reshape(8, 65536))
-
-    @jax.jit
-    def run(x, iters):
-        def body(i, acc):
-            v = acc ^ i
-            for k in range(N_OPS_PER_ITER // 2):
-                v = (v + (v >> 7)) ^ (k + 1)
-            return v
-        return lax.fori_loop(0, iters, body, x)[0, 0]
+    run, x, n_ops = canary_runner()
 
     def sample(lo=20, hi=220):
         def t(it):
@@ -48,7 +38,7 @@ def make_runner():
                 best = min(best, time.perf_counter() - t0)
             return best
         dt = t(hi) - t(lo)
-        return (hi - lo) * x.size * N_OPS_PER_ITER / dt / 1e9
+        return (hi - lo) * x.size * n_ops / dt / 1e9
 
     return sample
 
