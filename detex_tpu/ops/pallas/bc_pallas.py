@@ -526,7 +526,7 @@ decode_rgtc2_auto = _auto(decode_rgtc2, RGJ.decode_rgtc2, best_tile=256)
 decode_signed_rgtc1_auto = _auto(decode_signed_rgtc1,
                                  RGJ.decode_signed_rgtc1, best_tile=256)
 decode_signed_rgtc2_auto = _auto(decode_signed_rgtc2,
-                                 RGJ.decode_signed_rgtc2)
+                                 RGJ.decode_signed_rgtc2, best_tile=1024)
 
 # Packed-payload autos (the engine's decode path): rows of packed
 # payload words straight from the kernel — no post-kernel unpack, no
@@ -539,4 +539,5 @@ decode_signed_rgtc1_packed_auto = _auto(decode_signed_rgtc1_packed,
                                         _signed_rgtc1_jnp_packed,
                                         best_tile=256)
 decode_signed_rgtc2_packed_auto = _auto(decode_signed_rgtc2_packed,
-                                        _signed_rgtc2_jnp_packed)
+                                        _signed_rgtc2_jnp_packed,
+                                        best_tile=1024)

@@ -733,8 +733,7 @@ decode_eac_r11_auto = _auto(decode_eac_r11, EACJ.decode_eac_r11,
                              best_tile=1024)
 decode_eac_signed_r11_auto = _auto(decode_eac_signed_r11,
                                    EACJ.decode_eac_signed_r11)
-decode_eac_rg11_auto = _auto(decode_eac_rg11, EACJ.decode_eac_rg11,
-                             best_tile=256)
+decode_eac_rg11_auto = _auto(decode_eac_rg11, EACJ.decode_eac_rg11)
 decode_eac_signed_rg11_auto = _auto(decode_eac_signed_rg11,
                                     EACJ.decode_eac_signed_rg11,
                                     best_tile=256)
@@ -745,7 +744,7 @@ decode_eac_r11_packed_auto = _auto(decode_eac_r11_packed,
 decode_eac_signed_r11_packed_auto = _auto(decode_eac_signed_r11_packed,
                                           _eac_signed_r11_jnp_packed)
 decode_eac_rg11_packed_auto = _auto(decode_eac_rg11_packed,
-                                    _eac_rg11_jnp_packed, best_tile=256)
+                                    _eac_rg11_jnp_packed)
 decode_eac_signed_rg11_packed_auto = _auto(decode_eac_signed_rg11_packed,
                                            _eac_signed_rg11_jnp_packed,
                                            best_tile=256)
