@@ -43,6 +43,14 @@ def _random_texture(fmt: int, width: int, height: int,
         blocks[:, 0] = ((1 << modes)
                         | (blocks[:, 0] & (0xFF << (modes + 1)))
                         ).astype(np.uint8)
+    if fmt in (F.BPTC_FLOAT, F.BPTC_SIGNED_FLOAT):
+        # BC6H: 5-bit codes with low bits 11 and code5 >= 16 are
+        # reserved (decompress-bptc-float.c:23-33) and fail the whole
+        # reference texture — force the always-valid 2-bit modes 0/1.
+        blocks = data.reshape(-1, bs)
+        blocks[:, 0] = ((blocks[:, 0] & 0xFC)
+                        | rng.integers(0, 2, blocks.shape[0])
+                        ).astype(np.uint8)
     return Texture(fmt, data, width, height, wb, hb)
 
 
@@ -50,7 +58,10 @@ def _random_texture(fmt: int, width: int, height: int,
                                   (1, 1), (127, 2)])
 @pytest.mark.parametrize("fmt,out_fmt", [
     (F.BC1, F.RGBX8), (F.ETC2_EAC, F.RGBA8), (F.EAC_R11, F.R16),
-    (F.BPTC, F.RGBA8)])
+    (F.BPTC, F.RGBA8),
+    # round-4 packed-payload kinds through partial edge blocks
+    (F.RGTC1, F.RGBX8), (F.RGTC2, F.RGBX8),
+    (F.SIGNED_RGTC1, F.RGBX8), (F.BPTC_FLOAT, F.FLOAT_RGBX16)])
 def test_partial_edge_blocks(fmt, out_fmt, size):
     """detexDecompressTextureLinear crops partial edge blocks
     (texture.c:115-143); both our backends must match the compiled
