@@ -76,13 +76,13 @@ FAMILIES = {
     "ETC1": (lambda t: functools.partial(
         etc_eac_pallas.decode_etc1_planar, tile=t), 8, 64, 512),
     "ETC2": (lambda t: functools.partial(
-        etc_eac_pallas.decode_etc2_planar, tile=t), 8, 64, 128),
+        etc_eac_pallas.decode_etc2_planar, tile=t), 8, 64, 256),
     "ETC2_EAC": (lambda t: functools.partial(
         etc_eac_pallas.decode_etc2_eac_planar, tile=t), 16, 64, 256),
     "EAC_R11": (lambda t: functools.partial(
-        etc_eac_pallas.decode_eac_r11_planar, tile=t), 8, 32, 512),
+        etc_eac_pallas.decode_eac_r11_planar, tile=t), 8, 32, 1024),
     "EAC_RG11": (lambda t: functools.partial(
-        etc_eac_pallas.decode_eac_rg11_planar, tile=t), 16, 64, 256),
+        etc_eac_pallas.decode_eac_rg11_planar, tile=t), 16, 64, 512),
 }
 
 
