@@ -8,6 +8,19 @@ Prints ONE JSON line:
 
 vs_baseline is ours / C-reference (detexDecompressTextureLinear over the
 same blocks, RGBA8 output, -O2), measured on this machine.
+
+Measurement method (round 5, after tools/method_probe.py): the timed
+interval is ~330 ms of device work (marginal rate between 1,000 and
+11,000 fori_loop iterations) and the reported rate is the MEDIAN of
+the hi-repetitions.  The round-4 method (30 ms interval, best-of-5)
+swung 10% on the same binary in one process while this method holds
+1.4% over the same minutes — the historical 1.6-1.9x "bimodality" was
+transport/timing noise on intervals comparable to tunnel RPC jitter,
+NOT chip clock state (PROFILE.md "measurement method").
+
+Also writes BENCH_FAMILIES.json — the same marginal-rate method over
+every decode family (the reference's whole validate.c:31-57 corpus
+surface, not just BC7) — unless DETEX_BENCH_FAMILIES=0.
 """
 
 import json
@@ -25,11 +38,28 @@ import jax
 import numpy as np
 
 N_BLOCKS = 1 << 16        # 64k blocks = a 1024x1024 texture
-# Two-point measurement: run the decode loop at two iteration counts
-# and report the marginal rate, cancelling fixed dispatch/RPC overhead
-# (remote-tunnel TPUs add ~20 ms per invocation).
-N_ITERS_LO = 50
-N_ITERS_HI = 1050
+# Marginal rate between two iteration counts cancels fixed
+# dispatch/RPC overhead; the interval must be LONG relative to RPC
+# jitter (~10 ms on this tunnel) for the rate to be stable.
+N_ITERS_LO = 1000
+N_ITERS_HI = 11000
+
+
+def _median_rate(run, n_blocks, lo, hi, reps=3):
+    """Marginal blocks/s between trip counts lo and hi: min-of-reps at
+    lo (the baseline overhead), median-of-reps at hi (the signal).
+    `run(iters)` must fetch a scalar (true device sync)."""
+    def t(it):
+        run(it)                               # warm this trip count
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(it)
+            ts.append(time.perf_counter() - t0)
+        return ts
+    tlo = min(t(lo))
+    rates = sorted(n_blocks * (hi - lo) / (th - tlo) for th in t(hi))
+    return rates[len(rates) // 2], rates
 
 
 def bench_ours(blocks_u8: np.ndarray):
@@ -40,25 +70,21 @@ def bench_ours(blocks_u8: np.ndarray):
     the timing (device sync is forced by the fetch), and XLA cannot
     CSE the iterations because each one perturbs the input words.
 
-    The block tile is autotuned over {128, 256, 512} (the optimum is
-    machine-sensitive — register pressure vs grid overhead) and the
-    per-repetition spread is returned so run-to-run variance is
-    visible in the recorded number.
+    The block tile is autotuned over {128, 256, 512}; iters stays
+    TRACED (axon compiles static trip counts very slowly, and one
+    compile per tile serves both measurement points).
     """
+    import functools
+
     import jax.numpy as jnp
     from jax import lax
 
-    from detex_tpu.ops.pallas import bptc_pallas
     from detex_tpu.ops.bitops import words_from_bytes
+    from detex_tpu.ops.pallas import bptc_pallas
 
     words_planar = jax.device_put(
         np.asarray(words_from_bytes(blocks_u8)).T.copy())
 
-    import functools
-
-    # iters stays TRACED: the axon toolchain compiles static trip
-    # counts very slowly, and one compile per tile then serves both
-    # measurement points of the marginal-rate method.
     @functools.partial(jax.jit, static_argnames=("tile",))
     def run(wp, iters, tile):
         def body(i, acc):
@@ -67,26 +93,18 @@ def bench_ours(blocks_u8: np.ndarray):
             return acc ^ pix[0, 0] ^ valid[0].astype(jnp.int32)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    def timed(iters, tile):
-        int(run(words_planar, iters, tile))       # compile + warm
-        reps = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            int(run(words_planar, iters, tile))   # fetch forces sync
-            reps.append(time.perf_counter() - t0)
-        return reps
-
     n = blocks_u8.shape[0]
     results = {}
     for tile in (128, 256, 512):
-        lo = min(timed(N_ITERS_LO, tile))
-        his = timed(N_ITERS_HI, tile)
-        rates = [n * (N_ITERS_HI - N_ITERS_LO) / (h - lo) for h in his]
-        results[tile] = (max(rates), min(rates))
+        med, rates = _median_rate(
+            lambda it, tile=tile: int(run(words_planar, it, tile)),
+            n, N_ITERS_LO, N_ITERS_HI)
+        results[tile] = (med, rates)
     best_tile = max(results, key=lambda t: results[t][0])
-    best, worst = results[best_tile]
-    return best, {"tile": best_tile,
-                  "spread_pct": round(100 * (best - worst) / best, 2)}
+    med, rates = results[best_tile]
+    return med, {"tile": best_tile,
+                 "spread_pct": round(
+                     100 * (rates[-1] - rates[0]) / rates[-1], 2)}
 
 
 CANARY_OPS_PER_ITER = 256                     # adds+xors per element
@@ -94,8 +112,7 @@ CANARY_OPS_PER_ITER = 256                     # adds+xors per element
 
 def canary_runner():
     """The FIXED synthetic canary kernel (pure int32 arithmetic chain,
-    no decode logic), shared with tools/clock_probe.py so every
-    recorded canary_gops number is comparable.  Returns
+    no decode logic), shared with tools/clock_probe.py.  Returns
     (run(x, iters) -> scalar, x, ops_per_iter)."""
     import jax.numpy as jnp  # noqa: F401
     from jax import lax
@@ -116,10 +133,12 @@ def canary_runner():
 
 
 def clock_canary() -> float:
-    """Session clock/thermal probe: sustained canary rate, measured
-    with the same marginal-rate method as the real bench.  Recorded
-    alongside every BENCH number so a slow run is distinguishable
-    from a slow kernel (PROFILE.md benchmarking discipline).
+    """Ambient-condition record ONLY.  tools/method_probe.py (round 5)
+    showed the canary swinging 30% while the long-interval kernel rate
+    held 1.4%, with NO correlation — the canary does NOT normalize
+    decode rates and the round-4 "rate tracks the canary" claim
+    (BASELINE.md) is retracted.  It is still recorded so a pathological
+    session (e.g. a saturated tunnel) is visible in the artifact.
     Unit: 1e9 int32 ops/s."""
     import jax.numpy as jnp
 
@@ -151,8 +170,8 @@ def witness_correctness(blocks_u8: np.ndarray, tile: int = 512) -> str:
     """
     import jax.numpy as jnp  # noqa: F401
 
-    from detex_tpu.ops.pallas import bptc_pallas
     from detex_tpu.ops.bitops import words_from_bytes
+    from detex_tpu.ops.pallas import bptc_pallas
 
     try:
         from refbind import Reference
@@ -208,6 +227,120 @@ def bench_reference(blocks_u8: np.ndarray) -> float:
     return n / dt
 
 
+# ---------------------------------------------------------------------------
+# All-family sweep (VERDICT r4 next-round #5): one driver-visible
+# artifact per round with EVERY family's rate, so a regression in any
+# kernel is visible without archaeology.  Reference surface analogue:
+# the whole validate.c:31-57 corpus, not one format.
+# ---------------------------------------------------------------------------
+
+def _family_table():
+    from detex_tpu.ops.pallas import (bc_pallas, bptc_float_pallas,
+                                      bptc_pallas, etc_eac_pallas)
+    import functools as ft
+    bf = bptc_float_pallas.decode_bptc_float_planar
+    # name -> (planar fn, block bytes, best v5e tile, block fixup)
+    return {
+        "BC1": (bc_pallas.decode_bc1_planar, 8, 1024, None),
+        "BC1A": (bc_pallas.decode_bc1a_planar, 8, 512, None),
+        "BC2": (bc_pallas.decode_bc2_planar, 16, 512, None),
+        "BC3": (bc_pallas.decode_bc3_planar, 16, 256, None),
+        "RGTC1": (bc_pallas.decode_rgtc1_planar, 8, 1024, None),
+        "SIGNED_RGTC1": (bc_pallas.decode_signed_rgtc1_planar, 8, 512,
+                         None),
+        "RGTC2": (bc_pallas.decode_rgtc2_planar, 16, 256, None),
+        "SIGNED_RGTC2": (bc_pallas.decode_signed_rgtc2_planar, 16, 1024,
+                         None),
+        "BPTC": (bptc_pallas.decode_bptc_planar, 16, 256, "bc7_mode"),
+        "BPTC_FLOAT": (bf, 16, 512, "bc6h_mode"),
+        "BPTC_SIGNED_FLOAT": (ft.partial(bf, signed=True), 16, 512,
+                              "bc6h_mode"),
+        "ETC1": (etc_eac_pallas.decode_etc1_planar, 8, 1024, None),
+        "ETC2": (etc_eac_pallas.decode_etc2_planar, 8, 256, None),
+        "ETC2_PUNCHTHROUGH": (
+            etc_eac_pallas.decode_etc2_punchthrough_planar, 8, 256, None),
+        "ETC2_EAC": (etc_eac_pallas.decode_etc2_eac_planar, 16, 256,
+                     None),
+        "EAC_R11": (etc_eac_pallas.decode_eac_r11_planar, 8, 1024, None),
+        "EAC_SIGNED_R11": (etc_eac_pallas.decode_eac_signed_r11_planar,
+                           8, 512, None),
+        "EAC_RG11": (etc_eac_pallas.decode_eac_rg11_planar, 16, 512,
+                     None),
+        "EAC_SIGNED_RG11": (
+            etc_eac_pallas.decode_eac_signed_rg11_planar, 16, 256, None),
+    }
+
+
+def _family_blocks(rng, bb, fixup):
+    blocks = rng.integers(0, 256, (N_BLOCKS, bb), np.uint8)
+    if fixup == "bc7_mode":
+        modes = rng.integers(0, 8, N_BLOCKS)
+        blocks[:, 0] = ((1 << modes)
+                        | (blocks[:, 0] & (0xFF << (modes + 1)))
+                        ).astype(np.uint8)
+    elif fixup == "bc6h_mode":
+        # reserved 5-bit codes fail the block; force 2-bit modes 0/1
+        blocks[:, 0] = ((blocks[:, 0] & 0xFC)
+                        | rng.integers(0, 2, N_BLOCKS)).astype(np.uint8)
+    return blocks
+
+
+def bench_families(canary_gops: float):
+    """Per-family marginal rates with the long-interval method; the
+    iteration counts adapt per family so the timed interval stays
+    ~300 ms whether the kernel runs at 2e9 or 1.4e10 blocks/s."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = {"n_blocks": N_BLOCKS, "unit": "blocks/s",
+           "method": ("marginal rate over a ~300 ms in-dispatch "
+                      "interval, median of 3; tools/method_probe.py"),
+           "canary_gops_ambient": round(canary_gops, 1),
+           "platform": jax.devices()[0].platform, "families": {}}
+    rng = np.random.default_rng(7)
+    for name, (fn, bb, tile, fixup) in _family_table().items():
+        blocks = _family_blocks(rng, bb, fixup)
+        words = jax.device_put(np.ascontiguousarray(
+            np.ascontiguousarray(blocks).view(np.uint32)
+            .astype(np.int64).astype(np.int32).T))
+
+        @functools.partial(jax.jit, static_argnames=())
+        def run(wp, iters, fn=fn, tile=tile):
+            def body(i, acc):
+                pix, valid = fn(wp ^ i, tile=tile, interpret=False)
+                return acc ^ pix.reshape(-1)[0].astype(jnp.int32) \
+                    ^ valid[0].astype(jnp.int32)
+            return lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        def call(it):
+            return int(run(words, jnp.int32(it)))
+
+        # rough MARGINAL rate estimate (RPC overhead cancels) ->
+        # iters for a ~300 ms interval, clamped to keep any one
+        # family's sweep under ~1 s of device time
+        def best(it):
+            call(it)
+            b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                call(it)
+                b = min(b, time.perf_counter() - t0)
+            return b
+        est = N_BLOCKS * 128 / max(best(144) - best(16), 1e-9)
+        hi_iters = min(max(int(0.3 * est / N_BLOCKS), 200), 150_000)
+        lo_iters = max(hi_iters // 10, 20)
+        med, rates = _median_rate(call, N_BLOCKS, lo_iters, hi_iters)
+        out["families"][name] = {
+            "blocks_per_s": round(med, -6), "tile": tile,
+            "spread_pct": round(100 * (rates[-1] - rates[0])
+                                / rates[-1], 2)}
+        print(f"  {name}: {med:.3e} blocks/s", file=sys.stderr,
+              flush=True)
+    return out
+
+
 def main():
     rng = np.random.default_rng(42)
     # Random bitstrings with a valid, uniformly random mode prefix (our
@@ -225,6 +358,16 @@ def main():
     # the one the timing ran (the compilation cache serves it back).
     correctness = witness_correctness(blocks, tile=detail["tile"])
     baseline = bench_reference(blocks)
+
+    if os.environ.get("DETEX_BENCH_FAMILIES", "1") != "0":
+        try:
+            fam = bench_families(canary)
+            (REPO / "BENCH_FAMILIES.json").write_text(
+                json.dumps(fam, indent=1) + "\n")
+        except Exception as e:                       # never lose the
+            print(f"family sweep failed: {e}",      # headline metric
+                  file=sys.stderr, flush=True)
+
     vs = ours / baseline if baseline > 0 else 0.0
     print(json.dumps({
         "metric": "bc7_decode_blocks_per_s",

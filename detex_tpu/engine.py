@@ -399,12 +399,22 @@ def decompress_texture_linear(tex: Texture, pixel_format: int = None,
     detexDecompressTextureLinear, texture.c:105-145).  Returns flat u8
     bytes of width*height pixels in `pixel_format` (default: the
     format's native decoded pixel format)."""
+    global LAST_BACKEND
     if pixel_format is None:
         pixel_format = F.texture_pixel_format(tex.format)
     if not F.is_compressed(tex.format):
-        return C.convert_pixels(tex.data, tex.width * tex.height,
-                                F.texture_pixel_format(tex.format),
-                                pixel_format)
+        src_fmt = F.texture_pixel_format(tex.format)
+        n_px = tex.width * tex.height
+        if backend == "device" and CD.path_supported(src_fmt,
+                                                     pixel_format):
+            # Uncompressed textures run the same device converter as
+            # the compressed pipeline (texture.c:105-145 parity was
+            # host-only until round 5; every edge has a device kernel).
+            LAST_BACKEND = "device"
+            return CD.convert_pixels_jax(tex.data, n_px, src_fmt,
+                                         pixel_format)
+        LAST_BACKEND = "jax" if backend == "device" else backend
+        return C.convert_pixels(tex.data, n_px, src_fmt, pixel_format)
     if backend == "device":
         # Fully-fused device pipeline (decode+convert+assemble in one
         # jit).  Every conversion edge (incl. HDR gamma != 1) now has
@@ -412,7 +422,6 @@ def decompress_texture_linear(tex: Texture, pixel_format: int = None,
         # edge sequence exists for the format pair), in which case the
         # host converter will raise the same error — but never
         # silently: the downgrade is warned and recorded.
-        global LAST_BACKEND
         try:
             img = decompress_texture_linear_device(tex, pixel_format,
                                                    mode_mask, flags)

@@ -1,12 +1,17 @@
 """Pallas TPU kernels for the hot block-decode paths.
 
 Each kernel is a fused single-pass decoder: compressed words stream
-HBM -> VMEM once, all bit plumbing runs on the VPU (funnel shifts,
-select chains), small-table gathers ride the MXU as one-hot matmuls
-(every table value fits in 8 bits, so even bf16-precision matmuls are
-exact), and decoded pixels stream back out once.  Layout is
-word-planar: words (k, N) int32 in, pixels (16, N) int32 out, with the
-block/batch axis on TPU lanes.
+HBM -> VMEM once, ALL compute runs on the VPU (funnel shifts, balanced
+select trees over packed/compressed tables, SWAR lane arithmetic), and
+decoded pixels stream back out once.  Layout is word-planar: words
+(k, N) int32 in, pixels (16, N) int32 out, with the block/batch axis
+on TPU lanes.
+
+The MXU is not used: every table is compressed into select trees /
+packed words / arithmetic derivations instead (see each module's
+docstring for which).  One-hot-matmul gathers are the candidate
+alternative; see PROFILE.md "MXU offload experiment" for the measured
+comparison.
 
 On non-TPU backends the kernels run through the Pallas interpreter so
 the same code path is testable bit-for-bit on CPU.

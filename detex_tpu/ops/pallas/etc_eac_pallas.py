@@ -429,13 +429,31 @@ def _eac_modifier(mp, code):
 
 
 def _eac_alpha_pixels(w0, w1):
-    """ETC2_EAC alpha path (decompress-eac.c:54-86): 16 x (8, L)."""
+    """ETC2_EAC alpha path (decompress-eac.c:54-86): 16 x (8, L).
+
+    clamp255(base + modifier[c]*mult) takes only 8 values per block:
+    build the packed per-block candidate palette once (4 multiplies —
+    the negated rows are (-v-1)*mult = -(v*mult) - mult) and make the
+    per-pixel work ONE cmpsel + a variable byte shift, multiply-free
+    (the RGTC2 packed-palette trick; int32 mul is the expensive VPU
+    port, PROFILE.md round 4)."""
     base = w0 & 0xFF
     mult = _shr(w0, 12) & 0xF
     mp = _eac_mp_word(w0)
     codes = _eac_codes(w0, w1)
-    return [_clamp255(base + _eac_modifier(mp, c) * mult)
-            for c in codes], mult
+    lo = hi = None
+    for k in range(4):
+        v = (_shr(mp, 5 * k) & 31) - 16          # modifier row value k
+        pv = v * mult
+        c_pos = _clamp255(base + pv)
+        c_neg = _clamp255(base - pv - mult)      # code k+4
+        lo = c_pos if k == 0 else lo | _shl(c_pos, 8 * k)
+        hi = c_neg if k == 0 else hi | _shl(c_neg, 8 * k)
+    out = []
+    for c in codes:
+        w = jnp.where(c >= 4, hi, lo)
+        out.append(_shr(w, _shl(c & 3, 3)) & 0xFF)
+    return out, mult
 
 
 def _eac11_pixels(w0, w1, *, signed: bool):
