@@ -235,6 +235,32 @@ def _native_to_typed(idx: int, pix):
     raise AssertionError(f"unknown packer kind {kind!r}")
 
 
+# Planar kernel entry points (words (k, N) -> pixels (16, N)) + best
+# v5e tile for the u32 families: the fused pipeline feeds these
+# directly, skipping BOTH row transposes of the rows-level wrappers
+# (input (N, k) -> (k, N) and output (16, N) -> (N, 16) are each a
+# full-array relayout; tools/pipeline_stages.py round 5).
+_PLANAR_DECODERS = {
+    F.IDX_BC1: (bc_pallas.decode_bc1_planar, 1024),
+    F.IDX_BC1A: (bc_pallas.decode_bc1a_planar, 512),
+    F.IDX_BC2: (bc_pallas.decode_bc2_planar, 512),
+    F.IDX_BC3: (bc_pallas.decode_bc3_planar, 256),
+    F.IDX_BPTC: (bptc_pallas.decode_bptc_planar, 256),
+    F.IDX_ETC1: (etc_eac_pallas.decode_etc1_planar, 1024),
+    F.IDX_ETC2: (etc_eac_pallas.decode_etc2_planar, 256),
+    F.IDX_ETC2_PUNCHTHROUGH: (
+        etc_eac_pallas.decode_etc2_punchthrough_planar, 256),
+    F.IDX_ETC2_EAC: (etc_eac_pallas.decode_etc2_eac_planar, 256),
+}
+
+
+def _planar_decode(idx: int, words_planar, mode_mask, flags):
+    fn, best_tile = _PLANAR_DECODERS[idx]
+    n = words_planar.shape[1]
+    tile = best_tile if n >= 8 * best_tile else 128
+    return fn(words_planar, mode_mask, flags, tile=tile)
+
+
 # 8-bit x 4-lane formats whose mutual conversions are compositions of
 # no-ops and R/B swaps (convert.c:768-778): representable on PACKED
 # 32-bit pixels, so the fused pipeline can skip the byte unpack and
@@ -277,6 +303,27 @@ def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
         img = jnp.concatenate(rows, axis=1).reshape(hb * 4, wb * 4, -1)
         return img[:height, :width]
 
+    if packed and idx in _PLANAR_DECODERS:
+        # Planar-native path (round 5): decode stays (16, N), the
+        # valid zero-fill fuses, and the single transpose
+        # (4py, 4px, hb, wb) -> (hb, 4py, wb, 4px) is the measured-
+        # fastest linear assembly — 83.5% of the raw kernel rate vs
+        # 69.4% for the rows + slice-concat form it replaces
+        # (tools/pipeline_stages.py, ETC2_EAC @ 1024^2, v5e).
+        def pipeline_planar(words_planar, mode_mask, flags):
+            pix, valid = _planar_decode(idx, words_planar, mode_mask,
+                                        flags)
+            v = pix.astype(jnp.uint32)
+            if F.is_bgr(src_fmt) != F.is_bgr(pixel_format):
+                v = ((v & 0xFF) << 16) | (v & jnp.uint32(0xFF00FF00)) \
+                    | ((v >> 16) & 0xFF)
+            v = jnp.where(valid[None, :], v, jnp.uint32(0))
+            img = v.reshape(4, 4, hb, wb).transpose(2, 0, 3, 1) \
+                .reshape(hb * 4, wb * 4)
+            return img[:height, :width, None]
+
+        return jax.jit(pipeline_planar), True
+
     def pipeline(words, mode_mask, flags):
         pix, valid = dec_fn(words, mode_mask, flags)
         n_blocks = valid.shape[0]
@@ -295,7 +342,7 @@ def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
                          jnp.zeros((), conv.dtype))
         return assemble(conv.reshape(hb, wb, 4, 4, lanes))
 
-    return jax.jit(pipeline)
+    return jax.jit(pipeline), False
 
 
 @functools.lru_cache(maxsize=None)
@@ -377,9 +424,12 @@ def decompress_texture_linear_device(tex: Texture,
             f"{F.format_name(pixel_format)} is not device-executable")
     blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
     words = words_from_bytes(blocks)
-    fn = _device_pipeline(tex.format, pixel_format, tex.width_in_blocks,
-                          tex.height_in_blocks, tex.width, tex.height,
-                          CD.hdr_params_key())
+    fn, planar = _device_pipeline(tex.format, pixel_format,
+                                  tex.width_in_blocks,
+                                  tex.height_in_blocks, tex.width,
+                                  tex.height, CD.hdr_params_key())
+    if planar:
+        words = np.ascontiguousarray(np.asarray(words).T)
     return fn(words, np.uint32(mode_mask), np.uint32(flags))
 
 

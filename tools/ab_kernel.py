@@ -35,7 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-N, LO, HI = 1 << 16, 50, 1050
+# Long-interval method (tools/method_probe.py, round 5): the
+# timed interval must dwarf tunnel RPC jitter for stable rates.
+N, LO, HI = 1 << 16, 500, 5500
 
 
 def load_rev(rev: str, module: str):
@@ -66,12 +68,12 @@ def make_timer(mod, fn_name, words, tile: int):
 
     def t(it):
         int(run(words, it))
-        best = float("inf")
+        ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             int(run(words, it))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]                   # median-of-3
 
     return t
 
