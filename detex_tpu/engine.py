@@ -304,23 +304,25 @@ def _device_pipeline(tex_fmt: int, pixel_format: int, wb: int, hb: int,
         return img[:height, :width]
 
     if packed and idx in _PLANAR_DECODERS:
-        # Planar-native path (round 5): decode stays (16, N), the
-        # valid zero-fill fuses, and the single transpose
-        # (4py, 4px, hb, wb) -> (hb, 4py, wb, 4px) is the measured-
-        # fastest linear assembly — 83.5% of the raw kernel rate vs
-        # 69.4% for the rows + slice-concat form it replaces
-        # (tools/pipeline_stages.py, ETC2_EAC @ 1024^2, v5e).
+        # Planar-fed packed path.  Assembly stays the strided
+        # slice-per-pixel-row + concat form: under the honest
+        # carry-the-image harness (every iteration materializes the
+        # image to HBM, tools/pipeline_stages.py round 5) it runs at
+        # 57% of the raw kernel rate, the big (16,N)->(N,16) row
+        # transpose is FREE (101%), and the
+        # (4,4,hb,wb)->(hb,4,wb,4) transpose form is catastrophic
+        # (4% — a ~10 GB/s relayout once actually materialized; its
+        # earlier 83% reading was a scalar-consume harness artifact
+        # where XLA elided the relayout entirely).
         def pipeline_planar(words_planar, mode_mask, flags):
             pix, valid = _planar_decode(idx, words_planar, mode_mask,
                                         flags)
-            v = pix.astype(jnp.uint32)
+            v = pix.T.astype(jnp.uint32)
             if F.is_bgr(src_fmt) != F.is_bgr(pixel_format):
                 v = ((v & 0xFF) << 16) | (v & jnp.uint32(0xFF00FF00)) \
                     | ((v >> 16) & 0xFF)
-            v = jnp.where(valid[None, :], v, jnp.uint32(0))
-            img = v.reshape(4, 4, hb, wb).transpose(2, 0, 3, 1) \
-                .reshape(hb * 4, wb * 4)
-            return img[:height, :width, None]
+            v = jnp.where(valid[:, None], v, jnp.uint32(0))
+            return assemble(v.reshape(hb, wb, 4, 4, 1))
 
         return jax.jit(pipeline_planar), True
 

@@ -1,23 +1,25 @@
 """Per-stage variant timing of the fused device texture pipeline
 (VERDICT r4 missing #2 / next-round #4).
 
-The ETC2_EAC 1024x1024 device pipeline runs at half its own raw
-kernel's rate; this tool times the pipeline's stages and assembly
-variants so the dominant stage is attackable:
+HARNESS NOTE (round 5): the loop body's full image is the fori_loop
+CARRY, so every iteration must truly materialize the output to HBM.
+Consuming only a scalar slice of the image is NOT a valid harness:
+measured on v5e, `out.reshape(-1)[0]` lets XLA elide the assembly
+relayout entirely (rates equal the no-assembly variant), while
+`out[0,0,0]` leaves the transpose unfused at ~10 GB/s — the same
+program measures 1.96e9 vs 8.0e7 blocks/s depending on that one
+expression.  The carry harness matches the real
+decompress_texture_linear_device contract (image is the jit output).
 
-  kernel   : planar decode only (16, N) out                [baseline]
-  rows     : + pix.T to (N, 16)                            [r4 pipeline's
-                                                            decoder entry]
-  rows+w   : + where(valid) zero-fill
-  full     : engine._device_pipeline (r4 shipping path)
-  v_stack  : planar + where + per-(py,px) plane slices, px interleave
-             by stack(-1), py rows by stack(1)
-  v_trans  : planar + where + reshape(4,4,hb,wb) transpose(2,0,3,1)
-  v_tiled  : planar + where only (tiled output, no linear relayout —
-             what detexDecompressTextureTiled needs)
+Variants, all from the planar kernel:
 
-All variants are timed with the long-interval median method
-(tools/method_probe.py) in one process, interleaved per round.
+  kernel    : planar decode only, (16, N) carried            [baseline]
+  rows      : + pix.T to (N, 16) carried
+  tiled     : + where(valid), (16, N) carried (the tiled-output cost)
+  sliceconc : + rows + where + (hb,wb,4,4) slice-per-row + concat
+              assembly                                        [r4 engine]
+  trans     : + where + (4,4,hb,wb)->(hb,4,wb,4) transpose   [r5 engine]
+  full      : engine._device_pipeline as shipped
 
 Usage: python tools/pipeline_stages.py [--family etc2_eac|bc1]
            [--rounds 2]
@@ -64,35 +66,29 @@ def build_variants(planar_fn, tile):
         pix, valid = fn(wp)
         return pix.T
 
-    def rows_w(wp):
+    def tiled(wp):
         pix, valid = fn(wp)
-        return jnp.where(valid[:, None], pix.T.astype(jnp.uint32),
+        return jnp.where(valid[None, :], pix.astype(jnp.uint32),
                          jnp.uint32(0))
 
-    def v_stack(wp):
+    def sliceconc(wp):
         pix, valid = fn(wp)
-        z = jnp.where(valid[None, :], pix.astype(jnp.uint32),
-                      jnp.uint32(0))                    # (16, N) planar
-        planes = z.reshape(4, 4, HB, WB)                # (py, px, hb, wb)
-        rows_ = [jnp.stack([planes[py, px] for px in range(4)],
-                           axis=-1).reshape(HB, WB * 4)
+        v = jnp.where(valid[:, None], pix.T.astype(jnp.uint32),
+                      jnp.uint32(0))
+        tiles = v.reshape(HB, WB, 4, 4)
+        rows_ = [tiles[:, :, py, :].reshape(HB, 1, WB * 4)
                  for py in range(4)]
-        return jnp.stack(rows_, axis=1).reshape(HB * 4, WB * 4)
+        return jnp.concatenate(rows_, axis=1).reshape(HB * 4, WB * 4)
 
-    def v_trans(wp):
+    def trans(wp):
         pix, valid = fn(wp)
         z = jnp.where(valid[None, :], pix.astype(jnp.uint32),
                       jnp.uint32(0))
         return z.reshape(4, 4, HB, WB).transpose(2, 0, 3, 1) \
             .reshape(HB * 4, WB * 4)
 
-    def v_tiled(wp):
-        pix, valid = fn(wp)
-        return jnp.where(valid[None, :], pix.astype(jnp.uint32),
-                         jnp.uint32(0))
-
-    return {"kernel": kernel, "rows": rows, "rows+w": rows_w,
-            "v_stack": v_stack, "v_trans": v_trans, "v_tiled": v_tiled}
+    return {"kernel": kernel, "rows": rows, "tiled": tiled,
+            "sliceconc": sliceconc, "trans": trans}
 
 
 def full_pipeline(tex_fmt):
@@ -103,13 +99,24 @@ def full_pipeline(tex_fmt):
                                    HB * 4, CD.hdr_params_key())
 
 
-def make_timer(g, words, planar_in: bool):
+def make_timer(g, words):
+    """Carry-the-image harness: the image IS the loop carry (true HBM
+    materialization each iteration); a scalar xor chain forces the
+    iteration ordering."""
+    out0 = jax.eval_shape(g, jax.ShapeDtypeStruct(words.shape,
+                                                  words.dtype))
+
     @jax.jit
     def run(x, iters):
-        def body(i, acc):
-            out = g(x ^ i)
-            return acc ^ out.reshape(-1)[0].astype(jnp.int32)
-        return lax.fori_loop(0, iters, body, jnp.int32(0))
+        init_img = jnp.zeros(out0.shape, out0.dtype)
+
+        def body(i, carry):
+            img, acc = carry
+            new = g(x ^ i)
+            return new, acc ^ new.reshape(-1)[0].astype(jnp.int32)
+        img, acc = lax.fori_loop(0, iters, body,
+                                 (init_img, jnp.int32(0)))
+        return acc ^ img.reshape(-1)[0].astype(jnp.int32)
 
     def t(it):
         int(run(words, jnp.int32(it)))
@@ -144,11 +151,11 @@ def main():
 
     variants = build_variants(planar_fn, tile)
     pipe, pipe_planar = full_pipeline(tex_fmt)
-    timers = {k: make_timer(g, words_planar, True)
+    timers = {k: make_timer(g, words_planar)
               for k, g in variants.items()}
     timers["full"] = make_timer(
         lambda w: pipe(w, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)),
-        words_planar if pipe_planar else words_rows, pipe_planar)
+        words_planar if pipe_planar else words_rows)
 
     rates = {k: [] for k in timers}
     for _ in range(args.rounds):

@@ -26,7 +26,11 @@ from detex_tpu.ops.pallas import (bc_pallas,  # noqa: E402
                                   etc_eac_pallas)
 
 N = 1 << 16
-LO, HI = 50, 1050
+# Long-interval method (tools/method_probe.py, round 5): rates from
+# short windows swing 10%+ with tunnel RPC jitter.  For fast families
+# (>= 1e10 blocks/s) even this HI is ~70 ms — rely on the median and
+# the min-subtracted lo point.
+LO, HI = 500, 10500
 
 FAMILIES = {
     "BC7": (bptc_pallas.decode_bptc_planar, 16),
@@ -65,16 +69,16 @@ def rate(family: str, tile: int) -> float:
                 ^ valid[0].astype(jnp.int32)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    def t(it):
+    def t(it, pick):
         int(run(words, it))
-        best = float("inf")
+        ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             int(run(words, it))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return min(ts) if pick == "min" else sorted(ts)[1]
 
-    return N * (HI - LO) / (t(HI) - t(LO))
+    return N * (HI - LO) / (t(HI, "med") - t(LO, "min"))
 
 
 def main():
