@@ -73,14 +73,24 @@ def bench_etc_pipeline(n_blocks=1 << 16, target=None):
     if planar:
         words = jnp.asarray(np.ascontiguousarray(np.asarray(words).T))
 
-    @functools.partial(jax.jit, static_argnames="iters")
-    def run_fn(w, iters):
-        def body(i, acc):
-            img = pipeline(w ^ i, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-            return acc ^ img[0, 0, 0].astype(jnp.int32)
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+    # Carry-the-image harness (see tools/pipeline_stages.py round 5:
+    # consuming a scalar slice lets XLA elide or degrade the assembly
+    # relayout; carrying the image forces true HBM materialization).
+    img0 = jax.eval_shape(lambda w: pipeline(w, jnp.uint32(0xFFFFFFFF),
+                                             jnp.uint32(0)), words)
 
-    dt = _marginal(lambda it: run_fn(words, it))
+    @jax.jit
+    def run_fn(w, iters):
+        def body(i, carry):
+            img, acc = carry
+            new = pipeline(w ^ i, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            return new, acc ^ new.reshape(-1)[0].astype(jnp.int32)
+        img, acc = jax.lax.fori_loop(
+            0, iters, body,
+            (jnp.zeros(img0.shape, img0.dtype), jnp.int32(0)))
+        return acc ^ img.reshape(-1)[0].astype(jnp.int32)
+
+    dt = _marginal(lambda it: run_fn(words, jnp.int32(it)))
     return {"metric": "etc2_eac_texture_to_rgba8_blocks_per_s",
             "value": round(n_blocks / dt, 1), "unit": "blocks/s",
             "ms_per_1024sq_texture": round(dt * 1e3, 3),
@@ -118,7 +128,7 @@ def bench_bc6h_encoder(image_size=64, batch=64):
     def step(w):
         return D.encode(params, decode_to_img(w), dcfg)
 
-    @functools.partial(jax.jit, static_argnames="iters")
+    @jax.jit
     def run_fn(w, iters):
         def body(i, acc):
             z = step(w ^ i)
@@ -129,15 +139,19 @@ def bench_bc6h_encoder(image_size=64, batch=64):
     # the recorded metric carries its decode/encoder split instead of
     # presenting an encoder benchmark as a decoder number (VERDICT r4
     # weak #5).
-    @functools.partial(jax.jit, static_argnames="iters")
+    @jax.jit
     def run_decode_only(w, iters):
-        def body(i, acc):
-            img = decode_to_img(w ^ i)
-            return acc + img[0, 0, 0, 0]
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        z = jnp.zeros((batch, image_size, image_size, 3), jnp.float32)
 
-    dt = _marginal(lambda it: run_fn(words, it))
-    dt_dec = _marginal(lambda it: run_decode_only(words, it))
+        def body(i, carry):
+            img, acc = carry
+            new = decode_to_img(w ^ i)
+            return new, acc + new[0, 0, 0, 0]
+        img, acc = jax.lax.fori_loop(0, iters, body, (z, jnp.float32(0)))
+        return acc + img[0, 0, 0, 0]
+
+    dt = _marginal(lambda it: run_fn(words, jnp.int32(it)))
+    dt_dec = _marginal(lambda it: run_decode_only(words, jnp.int32(it)))
     return {"metric": "bc6h_hdr_to_latent_images_per_s",
             "value": round(batch / dt, 1), "unit": "images/s",
             "ms_per_batch64": round(dt * 1e3, 3),
