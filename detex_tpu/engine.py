@@ -362,6 +362,21 @@ def _device_pipeline_tiled(tex_fmt: int, pixel_format: int,
     packed = (kind == "u32" and src_fmt in _packed32_fmts()
               and pixel_format in _packed32_fmts())
 
+    if packed and idx in _PLANAR_DECODERS:
+        # Planar-fed (skips the input row->planar relayout inside the
+        # rows wrapper; the output (16,N)->(N,16) transpose is free —
+        # tools/pipeline_stages.py round 5).
+        def pipeline_planar(words_planar, mode_mask, flags):
+            pix, valid = _planar_decode(idx, words_planar, mode_mask,
+                                        flags)
+            v = pix.T.astype(jnp.uint32)
+            if F.is_bgr(src_fmt) != F.is_bgr(pixel_format):
+                v = ((v & 0xFF) << 16) | (v & jnp.uint32(0xFF00FF00)) \
+                    | ((v >> 16) & 0xFF)
+            return jnp.where(valid[:, None], v, jnp.uint32(0))
+
+        return jax.jit(pipeline_planar), True
+
     def pipeline(words, mode_mask, flags):
         pix, valid = dec_fn(words, mode_mask, flags)
         n_blocks = valid.shape[0]
@@ -377,7 +392,7 @@ def _device_pipeline_tiled(tex_fmt: int, pixel_format: int,
         return jnp.where(valid[:, None, None], conv,
                          jnp.zeros((), conv.dtype))
 
-    return jax.jit(pipeline)
+    return jax.jit(pipeline), False
 
 
 def decompress_texture_tiled_device(tex: Texture,
@@ -398,8 +413,10 @@ def decompress_texture_tiled_device(tex: Texture,
             f"{F.format_name(pixel_format)} is not device-executable")
     blocks = tex.data.reshape(tex.n_blocks, tex.block_size)
     words = words_from_bytes(blocks)
-    fn = _device_pipeline_tiled(tex.format, pixel_format,
-                                CD.hdr_params_key())
+    fn, planar = _device_pipeline_tiled(tex.format, pixel_format,
+                                        CD.hdr_params_key())
+    if planar:
+        words = np.ascontiguousarray(np.asarray(words).T)
     return fn(words, np.uint32(mode_mask), np.uint32(flags))
 
 
