@@ -42,7 +42,9 @@ from detex_tpu.mpc import dynamics as D                    # noqa: E402
 from detex_tpu.mpc.runtime import decode_obs_batch         # noqa: E402
 from detex_tpu.mpc.train_loop import CorpusReplayEnv       # noqa: E402
 
-LO, HI = 20, 120
+# Long-interval method (tools/method_probe.py round 5): >= ~250 ms of
+# device work between the two points.
+LO, HI = 100, 1100
 
 
 def marginal_ms(run, *args):
@@ -50,16 +52,16 @@ def marginal_ms(run, *args):
 
     The scalar is FETCHED (float()) — block_until_ready alone does not
     force a device sync through the axon tunnel's async dispatch."""
-    def t(it):
+    def t(it, pick):
         float(run(jnp.int32(it), *args))
-        best = float("inf")
+        ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             float(run(jnp.int32(it), *args))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return min(ts) if pick == "min" else sorted(ts)[1]
 
-    return (t(HI) - t(LO)) / (HI - LO) * 1e3
+    return (t(HI, "med") - t(LO, "min")) / (HI - LO) * 1e3
 
 
 def main():

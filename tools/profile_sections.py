@@ -44,7 +44,8 @@ from detex_tpu.ops.pallas import (bptc_float_pallas,  # noqa: E402
                                   bptc_pallas, etc_eac_pallas)
 
 N = 1 << 16
-LO, HI = 50, 1050
+# Long-interval median method (tools/method_probe.py, round 5)
+LO, HI = 500, 5500
 
 # Issue classes and their measured sustained element rates on v5e
 # (dependent-chain Pallas probes, ops/s; see PROFILE.md preamble).
@@ -170,16 +171,16 @@ def sustained(family: str) -> float:
                 ^ valid[0].astype(jnp.int32)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    def t(it):
+    def t(it, pick):
         int(run(words, it))
-        best = float("inf")
+        ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             int(run(words, it))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return min(ts) if pick == "min" else sorted(ts)[1]
 
-    return N * (HI - LO) / (t(HI) - t(LO))
+    return N * (HI - LO) / (t(HI, "med") - t(LO, "min"))
 
 
 def _mix_probe_kernel(census, tile):
@@ -261,16 +262,16 @@ def probe_rate(census, tile) -> float:
             return acc ^ out.reshape(-1)[0]
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    def t(it):
+    def t(it, pick):
         int(run(x, it))
-        best = float("inf")
+        ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             int(run(x, it))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return min(ts) if pick == "min" else sorted(ts)[1]
 
-    return N * (HI - LO) / (t(HI) - t(LO))
+    return N * (HI - LO) / (t(HI, "med") - t(LO, "min"))
 
 
 def main():
