@@ -43,6 +43,13 @@ def _random_texture(fmt: int, width: int, height: int,
         blocks[:, 0] = ((1 << modes)
                         | (blocks[:, 0] & (0xFF << (modes + 1)))
                         ).astype(np.uint8)
+    if fmt == F.ETC1:
+        # Differential blocks whose 3-bit delta overflows a 5-bit base
+        # are invalid (decompress-etc.c:111-122) and flip the
+        # reference's whole-texture return to false; zero the deltas
+        # so every random block decodes (diff/individual still mix).
+        blocks = data.reshape(-1, bs)
+        blocks[:, :3] &= 0xF8
     if fmt in (F.BPTC_FLOAT, F.BPTC_SIGNED_FLOAT):
         # BC6H: 5-bit codes with low bits 11 and code5 >= 16 are
         # reserved (decompress-bptc-float.c:23-33) and fail the whole
@@ -61,7 +68,12 @@ def _random_texture(fmt: int, width: int, height: int,
     (F.BPTC, F.RGBA8),
     # round-4 packed-payload kinds through partial edge blocks
     (F.RGTC1, F.RGBX8), (F.RGTC2, F.RGBX8),
-    (F.SIGNED_RGTC1, F.RGBX8), (F.BPTC_FLOAT, F.FLOAT_RGBX16)])
+    (F.SIGNED_RGTC1, F.RGBX8), (F.BPTC_FLOAT, F.FLOAT_RGBX16),
+    # round-5 planar-fed pipeline: every remaining u32 planar family
+    # through the crop path (engine._PLANAR_DECODERS)
+    (F.BC1A, F.RGBA8), (F.BC2, F.RGBA8), (F.BC3, F.BGRA8),
+    (F.ETC1, F.RGBX8), (F.ETC2, F.RGBA8),
+    (F.ETC2_PUNCHTHROUGH, F.RGBA8)])
 def test_partial_edge_blocks(fmt, out_fmt, size):
     """detexDecompressTextureLinear crops partial edge blocks
     (texture.c:115-143); both our backends must match the compiled
