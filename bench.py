@@ -90,7 +90,11 @@ def bench_ours(blocks_u8: np.ndarray):
         def body(i, acc):
             pix, valid = bptc_pallas.decode_bptc_planar(
                 wp ^ i, tile=tile, interpret=False)
-            return acc ^ pix[0, 0] ^ valid[0].astype(jnp.int32)
+            # reshape(-1)[0], NOT pix[0, 0]: the 2D scalar slice of a
+            # pallas output costs ~10% extra (measured round 5); the
+            # flat form adds nothing and cannot elide the opaque
+            # pallas computation.
+            return acc ^ pix.reshape(-1)[0] ^ valid[0].astype(jnp.int32)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
     n = blocks_u8.shape[0]

@@ -55,7 +55,7 @@ def make_run(tile):
         def body(i, acc):
             out, valid = bptc_pallas.decode_bptc_planar(
                 x ^ i, tile=tile, interpret=False)
-            return acc ^ out[0, 0] ^ valid[0].astype(jnp.int32)
+            return acc ^ out.reshape(-1)[0] ^ valid[0].astype(jnp.int32)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
     return run, words
