@@ -256,8 +256,11 @@ def _family_table():
         "SIGNED_RGTC2": (bc_pallas.decode_signed_rgtc2_planar, 16, 1024,
                          None),
         "BPTC": (bptc_pallas.decode_bptc_planar, 16, 256, "bc7_mode"),
-        "BPTC_FLOAT": (bf, 16, 512, "bc6h_mode"),
-        "BPTC_SIGNED_FLOAT": (ft.partial(bf, signed=True), 16, 512,
+        # 256, not 512: the honest tile sweep moved BC6H's optimum
+        # (2.46e9 @ 256 vs 2.33e9 @ 512; the 512 choice was
+        # short-method noise) — matches the engine's auto tile.
+        "BPTC_FLOAT": (bf, 16, 256, "bc6h_mode"),
+        "BPTC_SIGNED_FLOAT": (ft.partial(bf, signed=True), 16, 256,
                               "bc6h_mode"),
         "ETC1": (etc_eac_pallas.decode_etc1_planar, 8, 1024, None),
         "ETC2": (etc_eac_pallas.decode_etc2_planar, 8, 256, None),
