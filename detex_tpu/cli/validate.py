@@ -103,11 +103,64 @@ def _synth_hdr_textures():
     return tex16, tex32
 
 
+# Randomized wide-net sweep (the scale the 25-file corpus cannot give):
+# valid-mode prefix fixups per family where a random prefix would
+# invalidate the whole block (BC7 mode byte, BC6H reserved codes).
+_FUZZ_FIXUP = {"BPTC": "bc7", "BPTC_FLOAT": "bc6h",
+               "BPTC_SIGNED_FLOAT": "bc6h"}
+_FUZZ_FAMILIES = [
+    "BC1", "BC1A", "BC2", "BC3", "RGTC1", "SIGNED_RGTC1", "RGTC2",
+    "SIGNED_RGTC2", "BPTC", "BPTC_FLOAT", "BPTC_SIGNED_FLOAT", "ETC1",
+    "ETC2", "ETC2_PUNCHTHROUGH", "ETC2_EAC", "EAC_R11",
+    "EAC_SIGNED_R11", "EAC_RG11", "EAC_SIGNED_RG11"]
+
+
+def fuzz_families(n_blocks: int, message, chunk: int = 1 << 18,
+                  seed: int = 20260821) -> int:
+    """Decode n_blocks random blocks per family on the default device
+    and bit-compare against the native C++ oracle (validity masks
+    everywhere, pixel bytes on valid blocks).  Returns the number of
+    failing families."""
+    rng = np.random.default_rng(seed)
+    n_fail = 0
+    for name in _FUZZ_FAMILIES:
+        fmt = getattr(F, name)
+        bb = F.block_size_bytes(fmt)
+        fixup = _FUZZ_FIXUP.get(name)
+        done, ok = 0, True
+        while done < n_blocks and ok:
+            n = min(chunk, n_blocks - done)
+            blocks = rng.integers(0, 256, (n, bb), np.uint8)
+            if fixup == "bc7":
+                modes = rng.integers(0, 8, n)
+                blocks[:, 0] = ((1 << modes)
+                                | (blocks[:, 0]
+                                   & (0xFF << (modes + 1)))
+                                ).astype(np.uint8)
+            elif fixup == "bc6h":
+                blocks[:, 0] = ((blocks[:, 0] & 0xFC)
+                                | rng.integers(0, 2, n)).astype(np.uint8)
+            ours, ov = engine.decode_blocks(fmt, blocks)
+            want, wv = engine.decode_blocks(fmt, blocks,
+                                            backend="native")
+            ok = np.array_equal(ov, wv) \
+                and np.array_equal(ours[wv], want[wv])
+            done += n
+        n_fail += not ok
+        message(f"  fuzz {name:20s} {done:>9,d} blocks "
+                f"{'BIT-EXACT' if ok else 'MISCOMPARE'}")
+    return n_fail
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="dtx-validate")
     p.add_argument("--corpus", default="/root/reference")
     p.add_argument("-o", "--output", default="validate-sheet.png")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--fuzz", type=int, default=0, metavar="N",
+                   help="additionally decode N random blocks per "
+                        "family on the device and bit-compare against "
+                        "the native C++ oracle")
     args = p.parse_args(argv)
 
     def message(*a):
@@ -176,6 +229,10 @@ def main(argv=None) -> int:
                             sheet.shape[0])
     tio.save_png(sheet_tex, args.output)
     message(f"wrote {args.output}")
+
+    if args.fuzz > 0:
+        n_fail += fuzz_families(args.fuzz, message)
+
     message("PASS" if n_fail == 0 else f"FAIL ({n_fail})")
     return 1 if n_fail else 0
 
