@@ -366,15 +366,9 @@ def main():
     correctness = witness_correctness(blocks, tile=detail["tile"])
     baseline = bench_reference(blocks)
 
-    if os.environ.get("DETEX_BENCH_FAMILIES", "1") != "0":
-        try:
-            fam = bench_families(canary)
-            (REPO / "BENCH_FAMILIES.json").write_text(
-                json.dumps(fam, indent=1) + "\n")
-        except Exception as e:                       # never lose the
-            print(f"family sweep failed: {e}",      # headline metric
-                  file=sys.stderr, flush=True)
-
+    # Print the headline line BEFORE the (long) family sweep so a
+    # driver-side timeout during the sweep cannot lose the metric; the
+    # sweep itself writes only to BENCH_FAMILIES.json + stderr.
     vs = ours / baseline if baseline > 0 else 0.0
     print(json.dumps({
         "metric": "bc7_decode_blocks_per_s",
@@ -385,7 +379,16 @@ def main():
         "spread_pct": detail["spread_pct"],
         "correctness": correctness,
         "canary_gops": round(canary, 1),
-    }))
+    }), flush=True)
+
+    if os.environ.get("DETEX_BENCH_FAMILIES", "1") != "0":
+        try:
+            fam = bench_families(canary)
+            (REPO / "BENCH_FAMILIES.json").write_text(
+                json.dumps(fam, indent=1) + "\n")
+        except Exception as e:
+            print(f"family sweep failed: {e}", file=sys.stderr,
+                  flush=True)
 
 
 if __name__ == "__main__":
