@@ -89,3 +89,12 @@ def test_compress_rejected(tmp_path):
     with pytest.raises(SystemExit):
         main(["-q", "-f", "BC1", f"{REF}/test-texture-RGB8.ktx",
               str(tmp_path / "x.ktx")])
+
+def test_validate_fuzz_families(capsys):
+    """dtx-validate --fuzz: the randomized device-vs-oracle sweep
+    (round 5) — tiny N on CPU, all families bit-exact."""
+    from detex_tpu.cli.validate import fuzz_families
+    msgs = []
+    n_fail = fuzz_families(128, msgs.append, chunk=128)
+    assert n_fail == 0, msgs
+    assert len(msgs) == 19
