@@ -29,7 +29,6 @@ import numpy as np
 from detex_tpu import convert as C
 from detex_tpu import convert_device as CD
 from detex_tpu import formats as F
-from detex_tpu.ops import bc, bptc_float, eac, etc, rgtc
 from detex_tpu.ops.bitops import words_from_bytes
 from detex_tpu.ops.pallas import (bc_pallas, bptc_float_pallas,
                                   bptc_pallas, etc_eac_pallas)

@@ -16,7 +16,6 @@ counts cancels fixed dispatch overhead.
 Usage: python tools/bench_pipelines.py [etc] [bc6h]
 """
 
-import functools
 import json
 import os
 import sys
@@ -35,7 +34,6 @@ from detex_tpu import convert_device as CD  # noqa: E402
 from detex_tpu import formats as F  # noqa: E402
 from detex_tpu.mpc import dynamics as D  # noqa: E402
 from detex_tpu.ops.pallas import bptc_float_pallas  # noqa: E402
-from detex_tpu.ops.pallas import etc_eac_pallas  # noqa: E402
 
 # Long-interval method (tools/method_probe.py, round 5): the timed
 # interval must dwarf tunnel RPC jitter (~10 ms) for a stable rate, so

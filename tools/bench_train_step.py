@@ -22,7 +22,6 @@ Usage: python tools/bench_train_step.py [--batch 64]
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
