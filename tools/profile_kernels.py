@@ -36,7 +36,8 @@ from detex_tpu.ops.pallas import (bc_pallas,                # noqa: E402
                                   etc_eac_pallas)
 
 N = 1 << 16
-LO, HI = 50, 1050
+# Long-interval median method (tools/method_probe.py, round 5)
+LO, HI = 500, 5500
 
 # HBM bandwidth per chip (GB/s), by platform version substring.
 HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0,
@@ -61,16 +62,16 @@ def sustained(fn, x):
                 ^ valid[0].astype(jnp.int32)
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    def t(it):
+    def t(it, pick):
         int(run(x, it))
-        best = float("inf")
-        for _ in range(2):
+        ts = []
+        for _ in range(3):
             t0 = time.perf_counter()
             int(run(x, it))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return min(ts) if pick == "min" else sorted(ts)[1]
 
-    return N * (HI - LO) / (t(HI) - t(LO))
+    return N * (HI - LO) / (t(HI, "med") - t(LO, "min"))
 
 
 # kernel -> (planar decode fn, block bytes, TRUE-payload output bytes
